@@ -1,0 +1,82 @@
+"""Canonicalize transcripts: turns -> one record per conversation.
+
+The dedupe "record" (the analogue of the reference's ``data_d`` dict entry,
+``csv_example/csv_example.py:41-55``) is one conversation, canonicalized by
+stable ``(conv_id, turn_idx)`` ordering with per-turn text equality
+preserved (BASELINE.json north_star).
+
+Plan shape: one shuffle (groupBy conv_id). ``sort_array(collect_list(
+struct(turn_idx, ...)))`` gives the stable ordering without a global sort;
+turn-collision dedup uses a row_number window over the same partitioning so
+both shuffles share the ``conv_id`` hash partitioning (Catalyst reuses it —
+no second exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklink.preprocess import clean_text, tokens
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def dedup_turns(transcripts: DataFrame) -> DataFrame:
+    """Drop duplicate (conv_id, turn_idx) collisions keeping the earliest ts
+    (deterministic; SURVEY.md §2.5 window note)."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc_nulls_last(), F.col("text"))
+    return (
+        transcripts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def canonicalize(transcripts: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """transcripts -> canonical records DataFrame, one row per conv_id.
+
+    Output columns (the engine's comparison-field surface, the analogue of
+    the cleaned record dict built by ``readData``):
+      conv_id, n_turns, conv_text (cleaned, order-stable concat),
+      first_user_text, last_assistant_text, tools (sorted distinct array),
+      turn_texts (array, per-turn cleaned text in turn order),
+      n_tokens, duration_s, first_ts
+    extra_cols (e.g. ['source']) are carried through via first().
+    """
+    turn = F.struct(
+        F.col("turn_idx"),
+        F.col("role"),
+        clean_text(F.col("text")).alias("text"),
+        F.col("tool"),
+        F.col("ts"),
+    )
+    agg = [
+        F.array_sort(F.collect_list(turn)).alias("turns"),
+        F.min("ts").alias("first_ts"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("long").alias("duration_s"),
+    ]
+    for c in extra_cols or []:
+        agg.append(F.first(c).alias(c))
+    g = dedup_turns(transcripts).groupBy("conv_id").agg(*agg)
+    txt = lambda t: t["text"]  # noqa: E731
+    out = g.select(
+        "conv_id",
+        F.size("turns").alias("n_turns"),
+        F.array_join(F.transform("turns", txt), " ").alias("conv_text"),
+        F.array_join(
+            F.transform(F.filter("turns", lambda t: t["role"] == "user"), txt), " "
+        ).alias("user_text"),
+        F.element_at(F.transform(F.filter("turns", lambda t: t["role"] == "user"), txt), 1).alias(
+            "first_user_text"
+        ),
+        F.element_at(
+            F.transform(F.filter("turns", lambda t: t["role"] == "assistant"), txt), -1
+        ).alias("last_assistant_text"),
+        F.array_sort(
+            F.array_distinct(F.filter(F.transform("turns", lambda t: t["tool"]), lambda x: x.isNotNull()))
+        ).alias("tools"),
+        F.transform("turns", txt).alias("turn_texts"),
+        "first_ts",
+        "duration_s",
+        *[F.col(c) for c in (extra_cols or [])],
+    )
+    return out.withColumn("n_tokens", F.size(tokens(F.col("conv_text"))))

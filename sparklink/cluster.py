@@ -1,0 +1,109 @@
+"""Clustering: threshold -> connected components -> entity_map.
+
+The reference's ``deduper.cluster(scores, threshold=0.5)`` builds a graph
+over pairs above threshold and clusters within connected components,
+returning per-record cluster confidence
+(mysql_example/mysql_example.py:269-271 [lib]). It holds the whole edge
+list in driver memory — the scale bottleneck SURVEY §3 EP2 calls out. Here
+components are computed distributively with alternating min-label
+propagation over DataFrames (the two-phase large-star/small-star scheme of
+Kiveris et al. 2014, "Connected Components in MapReduce and Beyond",
+specialized to label propagation): O(log n) iterations in the worst case,
+2-3 in practice because post-blocking components are tiny.
+
+Conventions matching the reference:
+  canon_id   = min(record_id) over the component (cluster[0] convention,
+               mysql_example/mysql_example.py:45-50)
+  confidence = mean score of a record's edges to co-members (dedupe's
+               cluster score semantics [lib], same aggregation shape)
+Singletons are their own cluster via the right-outer + coalesce pattern
+(mysql_example/mysql_example.py:316-322).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None) -> DataFrame:
+    """edges(id_a, id_b) -> (record_id, component) with component = min id
+    reachable. Iterative DataFrame joins; localCheckpoint every round
+    truncates lineage (SURVEY §7 hard part (b))."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # label[v] = min(v, min neighbor label); iterate to fixpoint
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("min_nbr"))
+        .select(F.col("src").alias("id"), F.least(F.col("min_nbr"), F.col("src")).alias("label"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # propagate: candidate label for v = min over neighbors u of label[u]
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # pointer-jumping: also propagate through current labels
+        # (label[v] <- label[label[v]]) to reach fixpoint in O(log d) rounds
+        jumped = (
+            new_labels.alias("a")
+            .join(new_labels.select(F.col("id").alias("label"), F.col("label").alias("label2")).alias("b"), "label", "left")
+            .select("id", F.least(F.col("label"), F.coalesce(F.col("label2"), F.col("label"))).alias("label"))
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("record_id"), F.col("label").alias("component"))
+
+
+def entity_map(
+    scored_pairs: DataFrame,
+    records: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """scored pairs + full record set -> (record_id, canon_id, cluster_score).
+
+    Every record appears; unmatched records are their own canon
+    (COALESCE(canon_id, donor_id), mysql_example/mysql_example.py:316-322).
+    cluster_score for singletons is NULL (the reference leaves them out of
+    entity_map entirely; we keep the row and null the score).
+    """
+    edges = scored_pairs.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
+    comps = connected_components(edges.select("id_a", "id_b"))
+    # confidence: mean incident edge score within the component
+    inc = edges.select(F.col("id_a").alias("record_id"), "score").union(
+        edges.select(F.col("id_b").alias("record_id"), "score")
+    )
+    conf = inc.groupBy("record_id").agg(F.avg("score").alias("cluster_score"))
+    clustered = comps.join(conf, "record_id", "left")
+    return (
+        records.select(F.col(id_col).alias("record_id"))
+        .join(clustered, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce(F.col("component"), F.col("record_id")).alias("canon_id"),
+            "cluster_score",
+        )
+    )

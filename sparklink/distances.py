@@ -1,0 +1,278 @@
+"""Vectorized string/numeric comparators (SURVEY §2.6).
+
+Every string comparator operates on whole Arrow batches as numpy tensors —
+no per-row Python (BASELINE.json input_hint). Strings are encoded once per
+batch into padded (B, L) uint32 codepoint matrices; DP recurrences iterate
+over string positions only (≤ max_len steps), each step a vectorized op
+across the batch. Horizontal DP dependencies are resolved with the
+prefix-min trick: min_k<=j (t[k] + (j-k)) = j + cummin(t - arange).
+
+Comparator semantics follow the dedupe variable types observed at their
+call sites [lib]:
+  String/ShortString -> affine-gap distance (csv_example/csv_example.py:103-104)
+  Text               -> TF-IDF cosine (record_linkage_example.py:111-114)
+  Set                -> Jaccard overlap (patent_example/patent_example.py:116-119)
+  LatLong            -> Haversine (patent_example/patent_example.py:115)
+  Price              -> relative diff (record_linkage_example.py:115)
+  Exact              -> 0/1 (csv_example/csv_example.py:105)
+Raw distances need not bit-match dedupe's C implementations: the F1 target
+is on cluster decisions, with the LR weights fit to labeled pairs
+(SURVEY §7 hard parts (a)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# batch string encoding
+# --------------------------------------------------------------------------
+
+
+def _encode(s: pd.Series, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Series[str|None] -> (codes (B, max_len) int32 zero-padded, lengths (B,))."""
+    vals = s.fillna("").astype(str).str.slice(0, max_len)
+    lens = vals.str.len().to_numpy(dtype=np.int32)
+    b = len(vals)
+    codes = np.zeros((b, max_len), dtype=np.int32)
+    if b:
+        flat = vals.str.pad(max_len, side="right", fillchar="\x00").sum()
+        arr = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+        codes = arr.reshape(b, max_len)
+    return codes, lens
+
+
+# --------------------------------------------------------------------------
+# Levenshtein (normalized distance in [0,1])
+# --------------------------------------------------------------------------
+
+
+def levenshtein(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarray:
+    ca, la = _encode(a, max_len)
+    cb, lb = _encode(b, max_len)
+    B = len(la)
+    if B == 0:
+        return np.zeros(0)
+    L = max_len
+    j_idx = np.arange(L + 1, dtype=np.float32)
+    prev = np.broadcast_to(j_idx, (B, L + 1)).copy()
+    for i in range(1, L + 1):
+        active = la >= i
+        if not active.any():
+            break
+        cost = (ca[:, i - 1 : i] != cb).astype(np.float32)  # (B, L)
+        tmp = np.empty((B, L + 1), dtype=np.float32)
+        tmp[:, 0] = i
+        tmp[:, 1:] = np.minimum(prev[:, 1:] + 1.0, prev[:, :-1] + cost)
+        # cur[j] = min_k<=j (tmp[k] + (j-k))  -> prefix-min scan
+        cur = np.minimum.accumulate(tmp - j_idx, axis=1) + j_idx
+        prev = np.where(active[:, None], cur, prev)
+    # after the loop `prev` holds, per batch row, the DP row for i=la
+    # (rows freeze once i exceeds their length); answer is column lb.
+    d = prev[np.arange(B), lb]
+    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
+    return np.clip(d / denom, 0.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler (similarity in [0,1])
+# --------------------------------------------------------------------------
+
+
+def jaro_winkler(a: pd.Series, b: pd.Series, max_len: int = 64, prefix_scale: float = 0.1) -> np.ndarray:
+    ca, la = _encode(a, max_len)
+    cb, lb = _encode(b, max_len)
+    B = len(la)
+    if B == 0:
+        return np.zeros(0)
+    L = max_len
+    match_dist = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (B,)
+    j_pos = np.arange(L)
+    valid_b = j_pos[None, :] < lb[:, None]
+    avail = valid_b.copy()
+    matched_a = np.zeros((B, L), dtype=bool)
+    matched_j = np.zeros((B, L), dtype=bool)
+    for i in range(L):
+        in_a = la > i
+        if not in_a.any():
+            break
+        window = np.abs(j_pos[None, :] - i) <= match_dist[:, None]
+        cand = (cb == ca[:, i : i + 1]) & avail & window & in_a[:, None]
+        has = cand.any(axis=1)
+        j_first = np.argmax(cand, axis=1)
+        rows = np.nonzero(has)[0]
+        avail[rows, j_first[rows]] = False
+        matched_j[rows, j_first[rows]] = True
+        matched_a[rows, i] = True
+    m = matched_a.sum(axis=1).astype(np.float32)
+    # transpositions: compact matched chars of a (i order) vs b (j order)
+    out_a = np.zeros((B, L), dtype=np.int32)
+    out_b = np.zeros((B, L), dtype=np.int32)
+    ra, ia = np.nonzero(matched_a)
+    slot_a = np.cumsum(matched_a, axis=1)[ra, ia] - 1
+    out_a[ra, slot_a] = ca[ra, ia]
+    rb, jb = np.nonzero(matched_j)
+    slot_b = np.cumsum(matched_j, axis=1)[rb, jb] - 1
+    out_b[rb, slot_b] = cb[rb, jb]
+    t = ((out_a != out_b) & (out_a != 0)).sum(axis=1).astype(np.float32) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / np.where(m > 0, m, 1)) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    both_empty = (la == 0) & (lb == 0)
+    jaro = np.where(both_empty, 1.0, jaro)
+    # Winkler common-prefix boost (<=4)
+    pref_eq = np.cumprod((ca[:, :4] == cb[:, :4]) & (ca[:, :4] != 0), axis=1)
+    prefix = pref_eq.sum(axis=1).astype(np.float32)
+    return (jaro + prefix * prefix_scale * (1.0 - jaro)).astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# Affine-gap (Gotoh) normalized distance — dedupe's String comparator [lib]
+# --------------------------------------------------------------------------
+
+
+def affine_gap(
+    a: pd.Series,
+    b: pd.Series,
+    max_len: int = 48,
+    mismatch: float = 1.0,
+    gap_open: float = 1.0,
+    gap_extend: float = 0.35,
+) -> np.ndarray:
+    """Normalized Gotoh alignment distance in [0,1].
+
+    Vectorized across the batch; per-row horizontal gap recurrence
+    Y[j] = min(M[j-1]+open, Y[j-1]+ext) solved by prefix-min scan
+    (min_k<j of M[k]+open+(j-1-k)*ext). O(max_len) python-level steps.
+    """
+    ca, la = _encode(a, max_len)
+    cb, lb = _encode(b, max_len)
+    B = len(la)
+    if B == 0:
+        return np.zeros(0)
+    L = max_len
+    INF = np.float32(1e9)
+    j_idx = np.arange(L + 1, dtype=np.float32)
+    # row 0: aligning prefix of b against empty prefix of a = gap
+    M = np.full((B, L + 1), INF, dtype=np.float32)
+    M[:, 0] = 0.0
+    gap0 = gap_open + (j_idx[1:] - 1) * gap_extend
+    Y = np.full((B, L + 1), INF, dtype=np.float32)
+    Y[:, 1:] = gap0[None, :]
+    X = np.full((B, L + 1), INF, dtype=np.float32)
+    best_prev = np.minimum(M, np.minimum(X, Y))  # row i-1 combined
+    M_prev, X_prev = M, X
+    final = np.where(lb == 0, la * 0.0, np.where(la == 0, gap_open + np.maximum(lb - 1, 0) * gap_extend, INF)).astype(
+        np.float32
+    )
+    final = np.where((la == 0) & (lb == 0), 0.0, final)
+    ext_ramp = j_idx * gap_extend
+    for i in range(1, L + 1):
+        active = la >= i
+        if not active.any():
+            break
+        cost = (ca[:, i - 1 : i] != cb).astype(np.float32) * mismatch  # (B, L)
+        M_cur = np.full((B, L + 1), INF, dtype=np.float32)
+        M_cur[:, 1:] = best_prev[:, :-1] + cost
+        X_cur = np.minimum(M_prev + gap_open, X_prev + gap_extend)
+        # Y_cur[j] = min over k<j of (min(M_cur,X_cur)[k] + open + (j-1-k)*ext)
+        base = np.minimum(M_cur, X_cur)
+        scan = np.minimum.accumulate(base + gap_open - gap_extend - ext_ramp, axis=1)
+        Y_cur = np.full((B, L + 1), INF, dtype=np.float32)
+        Y_cur[:, 1:] = scan[:, :-1] + ext_ramp[1:]
+        best = np.minimum(M_cur, np.minimum(X_cur, Y_cur))
+        hit = active & (la == i)
+        if hit.any():
+            final = np.where(hit, best[np.arange(B), lb], final)
+        best_prev = np.where(active[:, None], best, best_prev)
+        M_prev = np.where(active[:, None], M_cur, M_prev)
+        X_prev = np.where(active[:, None], X_cur, X_prev)
+    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
+    return np.clip(final / denom, 0.0, 1.0).astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# Column-expression comparators (pure JVM, codegen'd)
+# --------------------------------------------------------------------------
+
+
+def exact_cmp(l: Column, r: Column) -> Column:
+    """1.0 if equal else 0.0 (dedupe Exact, csv_example/csv_example.py:105)."""
+    return F.when(l.isNull() | r.isNull(), F.lit(None)).otherwise((l == r).cast("double"))
+
+
+def jaccard_arrays(l: Column, r: Column) -> Column:
+    """Jaccard similarity of two array<string> columns (Set fields)."""
+    inter = F.size(F.array_intersect(l, r)).cast("double")
+    union = F.size(F.array_union(l, r)).cast("double")
+    return F.when(l.isNull() | r.isNull(), F.lit(None)).otherwise(
+        F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    )
+
+
+def haversine_km(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Great-circle distance, closed form (patent_example/patent_example.py:115)."""
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat, dlng = rad(lat2 - lat1), rad(lng2 - lng1)
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(rad(lat1)) * F.cos(rad(lat2)) * F.pow(F.sin(dlng / 2), 2)
+    return F.lit(6371.0088) * 2 * F.atan2(F.sqrt(h), F.sqrt(1 - h))
+
+
+def price_diff(l: Column, r: Column) -> Column:
+    """Relative numeric difference on positive values (dedupe Price [lib])."""
+    return F.when(l.isNull() | r.isNull() | (l <= 0) | (r <= 0), F.lit(None)).otherwise(
+        F.abs(l - r) / F.greatest(l, r)
+    )
+
+
+def rel_num_diff(l: Column, r: Column) -> Column:
+    return F.when(l.isNull() | r.isNull(), F.lit(None)).otherwise(
+        F.abs(l - r) / F.greatest(F.abs(l), F.abs(r), F.lit(1.0))
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine as a DataFrame sub-plan (Text comparator; SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def tfidf_vectors(records: DataFrame, column: str, id_col: str = "conv_id") -> DataFrame:
+    """(record_id, token, w) with L2-normalized tf-idf weights.
+
+    IDF from one aggregation over the corpus (the ``corpus=`` generator the
+    reference feeds to Text/Set variables,
+    record_linkage_example/record_linkage_example.py:111-114); weights
+    normalized per record so pair cosine = sum of weight products.
+    """
+    from sparklink.preprocess import tokens
+
+    n_docs = records.count()
+    tok = records.select(F.col(id_col).alias("record_id"), F.explode(tokens(F.col(column))).alias("token"))
+    tf = tok.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "w", F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    )
+    norm = w.groupBy("record_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return w.join(norm, "record_id").select("record_id", "token", (F.col("w") / F.col("norm")).alias("w"))
+
+
+def cosine_for_pairs(pairs: DataFrame, vectors: DataFrame, out_col: str = "cos") -> DataFrame:
+    """pairs(id_a, id_b, ...) -> + cosine of the tf-idf vectors.
+
+    Shuffle shape: two hash joins on record_id + token-key join + one agg;
+    scales linearly in total shared tokens, never materializes dense
+    vectors.
+    """
+    va = vectors.select(F.col("record_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    vb = vectors.select(F.col("record_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(va, "id_a")
+        .join(vb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias(out_col))
+    )
+    return pairs.join(dots, ["id_a", "id_b"], "left").fillna({out_col: 0.0})

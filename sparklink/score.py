@@ -1,0 +1,234 @@
+"""Pairwise scoring: field model -> distance vector -> logistic regression.
+
+The reference's ``deduper.score(pairs)`` computes a per-variable distance
+vector per candidate pair and applies trained LR weights -> P(match)
+(mysql_example/mysql_example.py:269-271 [lib], parallelized there with
+``num_cores=4`` multiprocessing; here executor parallelism + one Arrow
+pandas UDF per string variable does the same work vectorized).
+
+Missing data: each ``has_missing`` variable contributes a not-missing dummy
+so NULLs don't zero the score (csv_example/csv_example.py:105-106 [lib]):
+distance is imputed 0 where either side is NULL and the dummy flags it.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from sparklink import distances as D
+
+# ---------------------------------------------------------------------------
+# pandas UDFs for the string comparators (one Arrow batch per call)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(D.jaro_winkler(a, b))
+
+
+@pandas_udf(DoubleType())
+def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(D.levenshtein(a, b))
+
+
+@pandas_udf(DoubleType())
+def affine_gap_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(D.affine_gap(a, b))
+
+
+_STRING_UDFS = {
+    "jaro_winkler": jaro_winkler_udf,
+    "levenshtein": levenshtein_udf,
+    "affine_gap": affine_gap_udf,
+}
+
+
+def select_threshold(scores: np.ndarray, labels: np.ndarray, recall_weight: float = 1.0) -> float:
+    """F-beta-optimal decision threshold from labeled pair scores — the
+    analogue of ``gazetteer.threshold(messy, recall_weight=1.0)``
+    (gazetteer_example/gazetteer_postgres_example.py:303 [lib]).
+
+    Sweeps midpoints between adjacent distinct scores; beta=recall_weight
+    (recall_weight>1 favors recall, <1 favors precision).
+    """
+    order = np.argsort(scores)
+    s, y = scores[order], labels[order].astype(bool)
+    cands = np.unique(s)
+    if len(cands) > 512:
+        cands = np.quantile(cands, np.linspace(0, 1, 512))
+    mids = (cands[1:] + cands[:-1]) / 2.0
+    best_t, best_f = 0.5, -1.0
+    beta2 = recall_weight**2
+    n_pos = y.sum()
+    for t in mids:
+        pred = s >= t
+        tp = (pred & y).sum()
+        fp = (pred & ~y).sum()
+        prec = tp / (tp + fp) if (tp + fp) else 1.0
+        rec = tp / n_pos if n_pos else 1.0
+        denom = beta2 * prec + rec
+        f = (1 + beta2) * prec * rec / denom if denom else 0.0
+        if f > best_f:
+            best_f, best_t = f, float(t)
+    return best_t
+
+# ---------------------------------------------------------------------------
+# Field model — the analogue of the declared ``fields = [...]`` list
+# (csv_example/csv_example.py:102-110)
+# ---------------------------------------------------------------------------
+
+_COMPARATORS = {
+    # name -> (needs_udf, fn(l_col, r_col) -> Column)
+    "exact": D.exact_cmp,
+    "jaccard": D.jaccard_arrays,
+    "price": D.price_diff,
+    "relnum": D.rel_num_diff,
+}
+
+
+@dataclass(frozen=True)
+class Variable:
+    """One comparison (≙ one dedupe variable declaration).
+
+    kind: 'string' (affine_gap), 'shortstring' (jaro_winkler),
+          'levenshtein', 'exact', 'jaccard' (Set), 'price', 'relnum',
+          'text' (TF-IDF cosine sub-plan), 'latlong'.
+    """
+
+    column: str
+    kind: str
+    has_missing: bool = True
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+    @property
+    def dist_col(self) -> str:
+        return f"d_{self.kind}_{self.column}"
+
+
+@dataclass
+class FieldModel:
+    variables: list[Variable]
+    weights: np.ndarray | None = None  # (n_features,)
+    bias: float = 0.0
+    interactions: list[tuple[str, str]] = field(default_factory=list)  # pairs of variable names
+
+    # -- feature layout: [dist_1..dist_k, missing_dummy per has_missing var,
+    #    interaction products] ----------------------------------------------
+    def feature_cols(self) -> list[str]:
+        cols = [v.dist_col for v in self.variables]
+        cols += [f"m_{v.dist_col}" for v in self.variables if v.has_missing]
+        cols += [f"x_{a}__{b}" for a, b in self.interactions]
+        return cols
+
+    def _var_by_name(self) -> dict[str, Variable]:
+        return {v.name: v for v in self.variables}
+
+    def distance_frame(self, hydrated: DataFrame) -> DataFrame:
+        """hydrated pairs (fields as <col>_a / <col>_b) -> + distance columns.
+
+        Column-expression comparators stay in whole-stage codegen; string
+        comparators go through one vectorized pandas UDF each; 'text'
+        variables are attached by the caller via
+        ``distances.cosine_for_pairs`` (DataFrame sub-plan) before this and
+        referenced here by their dist_col.
+        """
+        out = hydrated
+        for v in self.variables:
+            l, r = F.col(v.column + "_a"), F.col(v.column + "_b")
+            if v.kind == "string":
+                raw: Column = 1.0 - affine_gap_udf(l, r)
+            elif v.kind == "shortstring":
+                raw = jaro_winkler_udf(l, r)
+            elif v.kind == "levenshtein":
+                raw = 1.0 - levenshtein_udf(l, r)
+            elif v.kind == "latlong":
+                raw = 1.0 / (1.0 + D.haversine_km(l["lat"], l["lng"], r["lat"], r["lng"]))
+            elif v.kind == "text":
+                # attached separately as a DataFrame sub-plan
+                # (distances.cosine_for_pairs); nothing to do per-row here
+                continue
+            elif v.kind in _COMPARATORS:
+                raw = _COMPARATORS[v.kind](l, r)
+            else:
+                raise ValueError(f"unknown comparator kind {v.kind}")
+            missing = l.isNull() | r.isNull()
+            out = out.withColumn(v.dist_col, F.when(missing, F.lit(0.0)).otherwise(raw))
+            if v.has_missing:
+                out = out.withColumn(f"m_{v.dist_col}", (~missing).cast("double"))
+        byname = self._var_by_name()
+        for a, b in self.interactions:
+            out = out.withColumn(f"x_{a}__{b}", F.col(byname[a].dist_col) * F.col(byname[b].dist_col))
+        return out
+
+    def score_expr(self) -> Column:
+        """sigmoid(w·x + b) as a pure Column expression (JVM-side)."""
+        assert self.weights is not None, "fit or load the model first"
+        z = F.lit(float(self.bias))
+        for w, c in zip(self.weights, self.feature_cols()):
+            z = z + F.lit(float(w)) * F.coalesce(F.col(c), F.lit(0.0))
+        return 1.0 / (1.0 + F.exp(-z))
+
+    def score(self, with_distances: DataFrame) -> DataFrame:
+        return with_distances.withColumn("score", self.score_expr())
+
+    # -- training (replaces console_label + train(); SURVEY §2.7) -----------
+    def fit(self, labeled_features: pd.DataFrame, l2: float = 1e-3, iters: int = 500, lr: float = 0.5) -> None:
+        """Driver-side numpy logistic regression on the labeled pairs'
+        feature matrix (labeled sets are small — 300..15k pairs in the
+        reference, record_linkage_example.py:128-131)."""
+        X = labeled_features[self.feature_cols()].fillna(0.0).to_numpy(dtype=np.float64)
+        y = labeled_features["label"].astype(float).to_numpy()
+        n, k = X.shape
+        w = np.zeros(k)
+        b = 0.0
+        for _ in range(iters):
+            z = X @ w + b
+            p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+            g = p - y
+            gw = X.T @ g / n + l2 * w
+            gb = g.mean()
+            w -= lr * gw
+            b -= lr * gb
+        self.weights = w
+        self.bias = float(b)
+
+    def predict_proba(self, features: pd.DataFrame) -> np.ndarray:
+        X = features[self.feature_cols()].fillna(0.0).to_numpy(dtype=np.float64)
+        z = X @ self.weights + self.bias
+        return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+    # -- persistence: the model artifact (≙ settings file,
+    #    csv_example/csv_example.py:94-97 StaticDedupe path) ----------------
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "variables": [{"column": v.column, "kind": v.kind, "has_missing": v.has_missing} for v in self.variables],
+                "interactions": self.interactions,
+                "weights": None if self.weights is None else list(map(float, self.weights)),
+                "bias": self.bias,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "FieldModel":
+        d = json.loads(s)
+        m = cls(
+            variables=[Variable(**v) for v in d["variables"]],
+            interactions=[tuple(x) for x in d.get("interactions", [])],
+        )
+        if d.get("weights") is not None:
+            m.weights = np.asarray(d["weights"], dtype=np.float64)
+        m.bias = float(d.get("bias", 0.0))
+        return m
