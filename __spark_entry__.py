@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full entity-resolution pipeline (canonicalize ->
+                block -> pair -> score -> connected components -> entity_map)
+                over transcripts derived from sf0.001 documents, scored by a
+                static field model (the StaticDedupe path,
+                csv_example/csv_example.py:94-97).
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data ops); see sparklink/queries.py.
+oracle_sql()  — DuckDB-equivalent SQL per query where SQL-expressible;
+                minhash/simhash/LSH/multimodal are rows-only by design.
 """
 
 from __future__ import annotations
@@ -15,24 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from sparklink.cluster import entity_map
+    from sparklink.queries import ER_PREDICATES, er_records
+    from sparklink.blocking import build_blocking_map, cap_block_sizes
+    from sparklink.pairs import candidate_pairs, hydrate
+    from sparklink.score import FieldModel, Variable
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    records = er_records(spark, sf_dir)
+    bm = cap_block_sizes(build_blocking_map(records, ER_PREDICATES), 200)
+    pairs = candidate_pairs(bm)
+    model = FieldModel(
+        variables=[
+            Variable("conv_text", "string", has_missing=False),
+            Variable("first_user_text", "shortstring", has_missing=False),
+            Variable("n_turns", "relnum", has_missing=False),
+        ]
+    )
+    # static hand weights: near-identical conversations cluster, others don't
+    model.weights = np.array([9.0, 3.0, -2.0])
+    model.bias = -8.0
+    hyd = hydrate(pairs, records, ["conv_text", "first_user_text", "n_turns"])
+    scored = model.score(model.distance_frame(hyd)).select("id_a", "id_b", "score")
+    return entity_map(scored, records, threshold=0.5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparklink.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparklink.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+                     JVM-side dot product via zip_with/aggregate, window
+                     rank. The baseline every ANN variant is measured
+                     against.
+  lsh_topk         — random-hyperplane LSH bucketing: probe only matching
+                     buckets, same scoring; the 100 TB path (candidates
+                     per query ~ bucket size, not corpus size).
+  ivf_topk         — IVF-style coarse quantizer: deterministic centroid
+                     seed + Lloyd iterations as DataFrame jobs; probe
+                     nearest n_probe cells.
+
+Hyperplanes/centroids are deterministic (seeded numpy) and broadcast as
+literal arrays — plans are reproducible and resume-safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return emb.withColumn(out_col, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cos, rank). queries must be
+    small enough to broadcast (it is the probe set, not the corpus)."""
+    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
+    q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
+    scored = c.join(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, F.round(_dot(F.col("cu"), F.col("qu")), 6).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 5) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def _bucket_expr(unit_col, planes: np.ndarray):
+    bits = [
+        F.when(_dot(unit_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    b = bits[0]
+    for x in bits[1:]:
+        b = b + x
+    return b
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 5,
+) -> DataFrame:
+    """Random-hyperplane LSH: equi-join on bucket id instead of cross join.
+    Recall < 1 by construction; measure vs brute_force_topk."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
+    c = c.withColumn("bucket", _bucket_expr(F.col("cu"), planes))
+    q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
+    q = q.withColumn("bucket", _bucket_expr(F.col("qu"), planes))
+    scored = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, F.round(_dot(F.col("cu"), F.col("qu")), 6).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, iters: int = 3, vec_col: str = "embedding", seed: int = 11
+) -> np.ndarray:
+    """Lloyd iterations as DataFrame jobs (assign = broadcast argmin join,
+    update = groupBy mean). Deterministic init from seeded sample."""
+    dim = len(corpus.select(vec_col).first()[0])
+    init = corpus.select(with_unit_vectors(corpus, vec_col, "u").u.alias("u")).limit(n_cells * 4).toPandas()
+    rng = np.random.default_rng(seed)
+    cents = np.stack(init["u"].to_numpy()[rng.permutation(len(init))[:n_cells]])
+    c = with_unit_vectors(corpus, vec_col).select(F.col("unit"))
+    for _ in range(iters):
+        assigned = c.withColumn("cell", _argmin_cell(F.col("unit"), cents)).groupBy("cell")
+        sums = assigned.agg(
+            *[F.sum(F.element_at("unit", i + 1)).alias(f"s{i}") for i in range(dim)], F.count("*").alias("n")
+        ).toPandas()
+        for _, row in sums.iterrows():
+            v = np.array([row[f"s{i}"] for i in range(dim)]) / max(row["n"], 1)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                cents[int(row["cell"])] = v / nrm
+    return cents
+
+
+def _argmin_cell(unit_col, cents: np.ndarray):
+    best_i, best_d = F.lit(0), F.lit(-2.0)
+    expr = None
+    for i, cvec in enumerate(cents):
+        d = _dot(unit_col, F.array(*[F.lit(float(x)) for x in cvec]))
+        if expr is None:
+            expr = F.struct(d.alias("d"), F.lit(i).alias("i"))
+        else:
+            cand = F.struct(d.alias("d"), F.lit(i).alias("i"))
+            expr = F.when(cand["d"] > expr["d"], cand).otherwise(expr)
+    return expr["i"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF probe: corpus partitioned by nearest centroid; each query scans
+    only its n_probe nearest cells."""
+    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
+    c = c.withColumn("cell", _argmin_cell(F.col("cu"), cents))
+    q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
+    cell_rank = [
+        F.struct(_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cvec])).alias("d"), F.lit(i).alias("i"))
+        for i, cvec in enumerate(cents)
+    ]
+    q = q.withColumn(
+        "cells",
+        F.slice(
+            F.transform(F.array_sort(F.array(*cell_rank), lambda a, b: F.when(a["d"] > b["d"], -1).when(a["d"] < b["d"], 1).otherwise(0)), lambda s: s["i"]),
+            1,
+            n_probe,
+        ),
+    ).select(query_id_col, "qu", F.explode("cells").alias("cell"))
+    scored = c.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, F.round(_dot(F.col("cu"), F.col("qu")), 6).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).dropDuplicates([query_id_col, id_col])

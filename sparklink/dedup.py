@@ -1,0 +1,210 @@
+"""Document-level deduplication operators for training-data pipelines.
+
+Beyond the reference's record-linkage surface, a 100 TB corpus pipeline
+needs document dedup primitives. All are pure DataFrame plans:
+
+  exact_duplicates   — md5(text) hash-groupBy (one shuffle, map-side combine)
+  minhash_lsh_pairs  — shingle -> k minhash permutations -> banded LSH join
+  simhash            — 64-bit simhash from token hashes (bit ops, no UDF)
+  ngram_jaccard_pairs— exact character-n-gram Jaccard on blocked candidates
+
+Design notes for scale: every candidate generator blocks first (LSH bands /
+shared shingles) so the pair join never goes quadratic; permutation tables
+are tiny literal arrays (broadcast by construction); hashes are xxhash64/
+crc32 built-ins (JVM side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparklink.preprocess import tokens
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canon_id, group_size): canon = min id per identical md5(text).
+
+    Mirrors the entity_map convention (canon = min member,
+    mysql_example/mysql_example.py:45-50) for byte-identical documents.
+    """
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    grp = h.groupBy("h").agg(F.min(id_col).alias("canon_id"), F.count("*").alias("group_size"))
+    return h.join(grp, "h").select(F.col(id_col), "canon_id", "group_size")
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash LSH
+# --------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: with x, a, b < p the product a*x + b stays below
+# 2^62 — no int64 overflow inside the JVM expression.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 17) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for h_i(x) = (a*x + b) mod p — no RNG at plan
+    build (stable across runs/resumes)."""
+    params = []
+    a, b = seed | 1, seed * 31 + 7
+    for _ in range(k):
+        a = (a * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        b = (b * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        params.append(((a % (_MERSENNE - 1)) + 1, b))
+    return params
+
+
+def char_shingles(col, n: int = 5):
+    """Distinct character n-gram shingles of the normalized text."""
+    c = F.lower(F.regexp_replace(col, r"\s+", " "))
+    return F.when(F.length(c) < n, F.array(c)).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.length(c) - (n - 1)), lambda i: c.substr(i, F.lit(n))))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32, shingle_n: int = 5
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[k]) — k minhash values per document.
+
+    Plan: explode shingles -> xxhash64 -> one aggregate computing all k
+    mins at once (array of min(expr)); one shuffle on doc_id, partial
+    aggregation does the heavy lifting map-side.
+    """
+    sh = docs.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("s")).select(
+        id_col, (F.abs(F.xxhash64("s")) % F.lit(_MERSENNE)).alias("x")
+    )
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over minhash sigs.
+
+    rows/band = k/bands; bucket key = hash of the band slice; self-join per
+    bucket with id_a < id_b; oversized buckets dropped (skew guard, same
+    rationale as blocking.cap_block_sizes). Returns (id_a, id_b,
+    est_jaccard) where est = fraction of agreeing minhashes.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n)
+    r = k // bands
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"b{b}:"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>")).cast("string"))
+            for b in range(bands)
+        ]
+    )
+    bm = sigs.select(F.col(id_col).alias("record_id"), "sig", F.explode(band_keys).alias("block_key"))
+    sizes = bm.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    bm = bm.join(F.broadcast(sizes.select("block_key")), "block_key", "left_anti")
+    l = bm.select("block_key", F.col("record_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    rr = bm.select("block_key", F.col("record_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        l.join(rr, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)).cast("double") / F.lit(
+        float(k)
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit simhash over token xxhash64 values.
+
+    Pure bit-arithmetic plan: explode tokens -> per-bit +/-1 contributions
+    via shiftright/bitwise-and -> sum per doc -> sign bits recombined.
+    One shuffle (groupBy doc), map-side partial agg.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    h = tok.select(id_col, F.xxhash64("t").alias("h"))
+    contribs = [
+        F.sum(F.when((F.shiftright(F.col("h"), i) % 2) != 0, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*contribs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = bit * F.lit(1 << i).cast("bigint") if i < 63 else F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dups: block on 4 x 16-bit simhash chunks (a pair within
+    hamming distance 3 must agree on >=1 of 4 chunks — pigeonhole), then
+    exact hamming filter via bit_count(xor)."""
+    s = simhash(docs, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.concat(F.lit(f"ch{c}:"), ((F.shiftrightunsigned(F.col("simhash"), c * 16)) % (1 << 16)).cast("string"))
+            for c in range(4)
+        ]
+    )
+    bm = s.select(F.col(id_col).alias("record_id"), F.col("simhash"), F.explode(chunks).alias("block_key"))
+    l = bm.select("block_key", F.col("record_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = bm.select("block_key", F.col("record_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        l.join(r, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard on blocked candidates
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    block_tokens: int = 1,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard >= threshold for pairs sharing a first-token
+    block (cheap demo blocking; compose with minhash_lsh_pairs for recall).
+    Returns (id_a, id_b, jaccard)."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - (shingle_n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(tokens(F.lower(F.col(text_col))), i, shingle_n), " "),
+        )
+    )
+    d = docs.select(F.col(id_col).alias("record_id"), grams.alias("grams"),
+                    F.slice(tokens(F.lower(F.col(text_col))), 1, block_tokens).alias("bk"))
+    d = d.withColumn("block_key", F.array_join("bk", " ")).drop("bk")
+    l = d.select("block_key", F.col("record_id").alias("id_a"), F.col("grams").alias("g_a"))
+    r = d.select("block_key", F.col("record_id").alias("id_b"), F.col("grams").alias("g_b"))
+    pairs = l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= min_jaccard)

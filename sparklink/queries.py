@@ -1,0 +1,571 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data op) at ``sf_dir``. The oracle SQL is ANSI DuckDB over the
+same parquet views. Rules for hash-parity with the driver's comparator:
+
+- every computed column aliased identically in both engines;
+- float outputs either derived from integer arithmetic (money as cents
+  BIGINT) or ``round(x, 6)`` applied identically in both engines;
+- deterministic top-k: explicit tiebreak column in every ORDER BY/rank.
+
+The ER entries run over a *derived transcripts view* built
+deterministically from ``documents`` (conv of 4 turns per 4 docs) so that
+DuckDB can replicate it exactly — the engine's own synthetic fixtures
+(synth.py) are used in pytest where no SQL oracle is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparklink import ann, dedup, textops
+from sparklink.blocking import (
+    Predicate,
+    build_blocking_map,
+    common_integers,
+    first_n_chars,
+    first_token,
+    sorted_acronym,
+)
+from sparklink.canonicalize import canonicalize
+from sparklink.pairs import candidate_pairs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+# ===========================================================================
+# derived transcripts view (deterministic from documents; both engines)
+# ===========================================================================
+
+DERIVED_TRANSCRIPTS_SQL = """
+    SELECT 'c' || lpad(CAST(doc_id // 4 AS VARCHAR), 7, '0') AS conv_id,
+           CAST(doc_id % 4 AS INTEGER)                        AS turn_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           text                                               AS text,
+           CASE WHEN doc_id % 7 = 0 THEN 'search'
+                WHEN doc_id % 7 = 3 THEN 'db_query' END       AS tool,
+           CAST(NULL AS TIMESTAMP)                            AS ts
+    FROM documents
+"""
+
+# cleaned per-turn text (must mirror sparklink.preprocess.clean_text on this
+# ASCII corpus: strip newline/quote chars, collapse runs of spaces, lower,
+# trim, ''->NULL; accent folding is a no-op here)
+DUCK_CLEAN = (
+    "nullif(lower(trim(regexp_replace(regexp_replace({c}, '[\\n\\r\"'']+', ' ', 'g'),"
+    " '\\s{{2,}}', ' ', 'g'))), '')"
+)
+
+DUCK_TOKENS = "list_filter(string_split_regex({c}, '[^0-9a-z]+'), t -> t <> '')"
+
+DUCK_RECORDS_CTE = f"""
+WITH transcripts AS ({DERIVED_TRANSCRIPTS_SQL}),
+cleaned AS (
+    SELECT conv_id, turn_idx, role, {DUCK_CLEAN.format(c="text")} AS ctext
+    FROM transcripts
+),
+records AS (
+    SELECT conv_id,
+           count(*)                                            AS n_turns,
+           string_agg(ctext, ' ' ORDER BY turn_idx)            AS conv_text,
+           arg_min(ctext, turn_idx) FILTER (role = 'user')     AS first_user_text
+    FROM cleaned
+    GROUP BY conv_id
+)
+"""
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("c"), F.lpad(F.floor(F.col("doc_id") / 4).cast("bigint").cast("string"), 7, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, "search").when(F.col("doc_id") % 7 == 3, "db_query").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonicalize(derived_transcripts(spark, sf_dir)).select(
+        "conv_id", "n_turns", "conv_text", "first_user_text", "n_tokens"
+    )
+
+
+ER_PREDICATES = [
+    Predicate("ft", "first_user_text", first_token),
+    Predicate("p6", "first_user_text", lambda c: first_n_chars(c, 6)),
+    Predicate("ac", "first_user_text", sorted_acronym),
+    Predicate("nm", "conv_text", common_integers),
+]
+
+DUCK_BLOCKKEYS_CTE = (
+    DUCK_RECORDS_CTE
+    + f""",
+toks AS (SELECT conv_id, {DUCK_TOKENS.format(c="first_user_text")} AS ts FROM records),
+bk AS (
+    SELECT 'ft:' || ts[1] AS block_key, conv_id AS record_id FROM toks WHERE len(ts) >= 1
+    UNION
+    SELECT 'p6:' || substr(first_user_text, 1, 6), conv_id FROM records
+        WHERE first_user_text IS NOT NULL AND substr(first_user_text, 1, 6) <> ''
+    UNION
+    SELECT 'ac:' || array_to_string(list_sort(list_transform(ts, t -> substr(t, 1, 1))), ''), conv_id
+        FROM toks WHERE len(ts) >= 1
+    UNION
+    SELECT 'nm:' || n, conv_id
+        FROM (SELECT conv_id, unnest(list_distinct(regexp_extract_all(conv_text, '\\d+'))) AS n FROM records)
+        WHERE n <> ''
+)
+"""
+)
+
+
+# ===========================================================================
+# query registry
+# ===========================================================================
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- ER pipeline stages (oracle-checked) -----------------------------------
+
+
+@q(
+    "er_canonicalize",
+    DUCK_RECORDS_CTE
+    + f"""
+SELECT conv_id, n_turns, conv_text, first_user_text,
+       len({DUCK_TOKENS.format(c="conv_text")}) AS n_tokens
+FROM records
+""",
+)
+def er_canonicalize(spark, sf_dir):
+    """Canonicalization: stable (conv_id, turn_idx) ordered aggregation
+    (SURVEY §1.2; csv_example readData+preProcess analogue)."""
+    return er_records(spark, sf_dir)
+
+
+@q(
+    "er_block_keys",
+    DUCK_BLOCKKEYS_CTE + "SELECT block_key, record_id FROM bk",
+)
+def er_block_keys(spark, sf_dir):
+    """Predicate blocking: fingerprinter -> (block_key, record_id)
+    (mysql_example/mysql_example.py:217-224)."""
+    return build_blocking_map(er_records(spark, sf_dir), ER_PREDICATES)
+
+
+@q(
+    "er_candidate_pairs",
+    DUCK_BLOCKKEYS_CTE
+    + """
+SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+FROM bk l JOIN bk r USING (block_key)
+WHERE l.record_id < r.record_id
+""",
+)
+def er_candidate_pairs(spark, sf_dir):
+    """Blocked self-join with l<r + DISTINCT
+    (mysql_example/mysql_example.py:256-260)."""
+    return candidate_pairs(er_block_keys(spark, sf_dir))
+
+
+@q(
+    "er_pair_scores",
+    DUCK_BLOCKKEYS_CTE
+    + f""",
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+feat AS (SELECT conv_id, list_distinct({DUCK_TOKENS.format(c="conv_text")}) AS tokset, n_turns FROM records)
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+             / nullif(len(list_distinct(a.tokset || b.tokset)), 0), 6) AS token_jaccard,
+       CAST(a.n_turns = b.n_turns AS INTEGER)                          AS same_turns
+FROM pairs p JOIN feat a ON p.id_a = a.conv_id JOIN feat b ON p.id_b = b.conv_id
+""",
+)
+def er_pair_scores(spark, sf_dir):
+    """Deterministic pair features (the SQL-expressible slice of the scorer:
+    Set-style Jaccard + Exact comparators, SURVEY §2.6)."""
+    from sparklink.preprocess import tokens
+
+    recs = er_records(spark, sf_dir)
+    feat = recs.select(
+        F.col("conv_id"),
+        F.array_distinct(tokens(F.col("conv_text"))).alias("tokset"),
+        F.col("n_turns"),
+    )
+    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES))
+    a = feat.select(F.col("conv_id").alias("id_a"), F.col("tokset").alias("ts_a"), F.col("n_turns").alias("nt_a"))
+    b = feat.select(F.col("conv_id").alias("id_b"), F.col("tokset").alias("ts_b"), F.col("n_turns").alias("nt_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = F.size(F.array_union("ts_a", "ts_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 6).alias("token_jaccard"),
+        (F.col("nt_a") == F.col("nt_b")).cast("int").alias("same_turns"),
+    )
+
+
+@q(
+    "er_exact_entity_map",
+    DUCK_RECORDS_CTE
+    + """
+, h AS (SELECT conv_id, md5(conv_text) AS hh FROM records)
+SELECT h.conv_id AS record_id, g.canon_id, g.group_size
+FROM h JOIN (SELECT hh, min(conv_id) AS canon_id, count(*) AS group_size FROM h GROUP BY hh) g USING (hh)
+""",
+)
+def er_exact_entity_map(spark, sf_dir):
+    """Exact-equality clustering with canon = min(id) — the entity_map
+    convention (mysql_example/mysql_example.py:45-50,283-287)."""
+    recs = er_records(spark, sf_dir)
+    h = recs.select(F.col("conv_id"), F.md5("conv_text").alias("hh"))
+    g = h.groupBy("hh").agg(F.min("conv_id").alias("canon_id"), F.count("*").alias("group_size"))
+    return h.join(g, "hh").select(F.col("conv_id").alias("record_id"), "canon_id", "group_size")
+
+
+# --- reference-shape analytics (SURVEY §2.4/2.5) ---------------------------
+
+
+@q(
+    "q_top_entities",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_cents DESC, c.c_custkey ASC
+LIMIT 10
+""",
+)
+def q_top_entities(spark, sf_dir):
+    """Aggregate-then-join top-k — the payoff query
+    (mysql_example/mysql_example.py:324-336)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q_group_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)      AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_group_agg(spark, sf_dir):
+    """Partial+final hash aggregation with pushed-down filter (GROUP BY SUM,
+    mysql_example/mysql_example.py:328-332)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q("q_distinct", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+def q_distinct(spark, sf_dir):
+    """SELECT DISTINCT (donors dedup, mysql_example/mysql_init_db.py:134-143)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@q(
+    "q_multikey_join",
+    """
+SELECT o.o_orderkey, c.c_name, n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def q_multikey_join(spark, sf_dir):
+    """Chained equi-joins + filter (raw->donors multi-key join shape,
+    mysql_example/mysql_init_db.py:187-208); nation is broadcast-size."""
+    o, c, n = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", _cents(F.col("o_totalprice")).alias("price_cents"))
+    )
+
+
+@q(
+    "q_outer_coalesce",
+    """
+SELECT c.c_custkey,
+       coalesce(a.n_orders, 0) AS n_orders,
+       coalesce(a.total_cents, 0) AS total_cents
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+) a ON c.c_custkey = a.o_custkey
+""",
+)
+def q_outer_coalesce(spark, sf_dir):
+    """Right-outer + COALESCE: every record gets a value; singletons their
+    own (entity_map pattern, mysql_example/mysql_example.py:316-322)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    a = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+    return c.join(a, c.c_custkey == a.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total_cents"), F.lit(0)).alias("total_cents"),
+    )
+
+
+@q(
+    "q_anti_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_anti_join(spark, sf_dir):
+    """Anti-join (unmatched gazetteer rows,
+    gazetteer_example/gazetteer_postgres_example.py:331-345)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "q_window_topn",
+    """
+SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, rn AS rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn <= 2
+""",
+)
+def q_window_topn(spark, sf_dir):
+    """Window top-n per key (gazetteer search n_matches=2,
+    gazetteer_example/gazetteer_example.py:159)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents"), "rank")
+    )
+
+
+@q(
+    "q_events_daily",
+    """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def q_events_daily(spark, sf_dir):
+    """Time-bucketed aggregation over the event stream table (batch form of
+    the streaming rollup; SURVEY §2.5 note)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n_events"), F.sum(_cents(F.col("value"))).alias("value_cents")
+    )
+
+
+# --- training-data ops ------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+SELECT h.doc_id, g.canon_id, g.group_size
+FROM h JOIN (SELECT hh, min(doc_id) AS canon_id, count(*) AS group_size FROM h GROUP BY hh) g USING (hh)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {DUCK_TOKENS.format(c="lower(text)")} AS ts FROM documents
+),
+grams AS (
+    SELECT doc_id, ts[1] AS block_key,
+           list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
+    FROM toks WHERE len(ts) >= 1
+),
+pairs AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.gs AS g_a, r.gs AS g_b
+    FROM grams l JOIN grams r USING (block_key)
+    WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
+             / nullif(len(list_distinct(g_a || g_b)), 0), 6) AS jaccard
+FROM pairs
+WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE) / nullif(len(list_distinct(g_a || g_b)), 0) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_minhash_lsh")  # xxhash64 not replicable in DuckDB -> rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=32, bands=8)
+
+
+@q("dedup_simhash")  # rows-only (xxhash64)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q(
+    "text_quality",
+    """
+WITH f AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), t -> t <> ''))) AS DOUBLE) AS n_dis,
+           CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       CASE WHEN n_tok > 0 THEN n_dis / n_tok ELSE 0.0 END AS distinct_ratio,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+       round(least(n_tok / 20.0, 1.0) * 0.4
+             + (CASE WHEN n_tok > 0 THEN n_dis / n_tok ELSE 0.0 END) * 0.4
+             + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.2,
+             6) AS quality
+FROM f
+""",
+)
+def text_quality(spark, sf_dir):
+    out = textops.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "distinct_ratio", "punct_ratio", "quality")
+
+
+@q(
+    "text_langid",
+    """
+WITH t AS (
+    SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')) AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id,
+        CAST(len(list_intersect(toks, ['der','die','das','und','ist','von','zu','mit','den','ein'])) AS DOUBLE) / 10 AS score_de,
+        CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / 10 AS score_en,
+        CAST(len(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS DOUBLE) / 10 AS score_es,
+        CAST(len(list_intersect(toks, ['le','la','de','et','est','en','un','que','pour','dans'])) AS DOUBLE) / 10 AS score_fr
+    FROM t
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+""",
+)
+def text_langid(spark, sf_dir):
+    return textops.language_scores(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    return textops.content_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ann_topk_bruteforce",
+    """
+WITH unitv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+    FROM embeddings
+), q AS (SELECT vec_id AS query_id, u AS qu FROM unitv WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(list_sum(list_transform(range(1, len(c.u) + 1), i -> c.u[i] * q.qu[i])), 6) AS cos
+    FROM unitv c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+""",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.brute_force_topk(emb, qs, k=10)
+
+
+@q("ann_topk_lsh")  # hyperplane constants not worth replicating in SQL -> rows-only
+def ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.lsh_topk(emb, qs, k=10)
+
+
+@q("multimodal_features")  # binary payloads, no SQL oracle -> rows-only
+def multimodal_features(spark, sf_dir):
+    from sparklink.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=128, seed=3)
+    return extract_features(media, dim=8)
