@@ -1,0 +1,255 @@
+"""Benchmark harness (driver contract + scaling study).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "er": {...scored-pairs/sec detail...}}
+
+--scaling mode: run the same ER job at local[8] and local[32] on identical
+input (the sandbox proxy for N vs 4N executors, BASELINE.md) and print
+throughput at both plus efficiency; used to produce BENCH.md.
+
+The ER headline job is the full pipeline (canonicalize -> block -> pairs ->
+vectorized scoring -> connected components) over a deterministic synthetic
+transcript corpus (sparklink.synth, seeded; no external data), sized by
+$SPARK_GRAFT_BENCH_ENTITIES (default 8000 entities ~= 28k conversations,
+~190k turns). Model weights are the shipped static artifact
+(models/transcript_model.json — the StaticDedupe path,
+csv_example/csv_example.py:94-97).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "8000"))
+FIXTURE_DIR = os.environ.get("SPARK_GRAFT_BENCH_FIXTURE", "/tmp/sparklink_bench_fixture")
+
+HEADLINE = [
+    "er_candidate_pairs",
+    "er_pair_scores",
+    "q_top_entities",
+    "q_group_agg",
+    "q_window_topn",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_quality",
+    "ann_topk_bruteforce",
+]
+
+
+def _get_spark(master: str):
+    from sparklink.session import get_spark
+
+    return get_spark(
+        app_name="sparklink-bench",
+        master=master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def ensure_fixture(spark, n_entities: int, seed: int = 42) -> str:
+    """Deterministic bench corpus, cached on disk keyed by params."""
+    path = f"{FIXTURE_DIR}/e{n_entities}_s{seed}"
+    marker = f"{path}/_DONE"
+    if not os.path.exists(marker):
+        from sparklink.synth import write_fixture
+
+        write_fixture(spark, path, n_entities=n_entities, seed=seed)
+        open(marker, "w").write("ok")
+    return path
+
+
+def load_static_model():
+    from sparklink.score import FieldModel
+
+    art = json.load(open(f"{REPO}/models/transcript_model.json"))
+    model = FieldModel.from_json(json.dumps(art))
+    return model, float(art["threshold"])
+
+
+def run_er_pipeline(spark, fixture: str) -> dict:
+    """Full ER job; returns timing + throughput (scored pairs / sec)."""
+    from pyspark.sql import functions as F
+
+    from sparklink import distances as D
+    from sparklink.cluster import entity_map
+    from sparklink.pairs import candidate_pairs, hydrate
+    from sparklink.pipeline import SparkDedupe, default_transcript_predicates
+
+    model, threshold = load_static_model()
+    transcripts = spark.read.parquet(f"{fixture}/transcripts.parquet")
+    dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+
+    t0 = time.time()
+    records = dd.canonical_records(transcripts)
+    records = records.persist()
+    n_records = records.count()
+    t_canon = time.time()
+
+    bm = dd.blocking_map(records).persist()
+    n_keys = bm.count()
+    t_block = time.time()
+
+    scored = dd.scored_pairs(records, bm).persist()
+    n_pairs = scored.count()
+    t_score = time.time()
+
+    em = entity_map(scored, records, threshold=threshold)
+    n_clusters = em.select("canon_id").distinct().count()
+    t_cluster = time.time()
+
+    records.unpersist()
+    bm.unpersist()
+    scored.unpersist()
+    total = t_cluster - t0
+    return {
+        "n_records": n_records,
+        "n_block_entries": n_keys,
+        "n_scored_pairs": n_pairs,
+        "n_clusters": n_clusters,
+        "sec_canonicalize": round(t_canon - t0, 2),
+        "sec_blocking": round(t_block - t_canon, 2),
+        "sec_scoring": round(t_score - t_block, 2),
+        "sec_clustering": round(t_cluster - t_score, 2),
+        "sec_total": round(total, 2),
+        "scored_pairs_per_sec": round(n_pairs / max(t_score - t_block, 1e-9), 1),
+        "records_per_sec": round(n_records / max(total, 1e-9), 1),
+    }
+
+
+def run_headline(spark) -> tuple[dict, float]:
+    from sparklink.queries import QUERIES
+
+    per_query = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 2)
+        total += dt
+    return per_query, total
+
+
+def main_default() -> None:
+    spark = _get_spark(f"local[{CPUS}]")
+    fixture = ensure_fixture(spark, BENCH_ENTITIES)
+    er = run_er_pipeline(spark, fixture)
+    per_query, q_total = run_headline(spark)
+    per_query["er_full_pipeline"] = er["sec_total"]
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(q_total + er["sec_total"], 2),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "er": er,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+def probe_host_capacity(n_procs: int = 8, dur: float = 4.0) -> float:
+    """Measured effective-core ratio of this sandbox: sustained numpy
+    throughput of n_procs processes vs 1. The VM advertises 32 vCPUs but
+    shares ~2 physical cores with co-tenants; scaling efficiency readings
+    must be interpreted against this ceiling (see BENCH.md)."""
+    import multiprocessing as mp
+
+    import numpy as np  # noqa: F401
+
+    def burn(dur_s: float) -> int:
+        import time as _t
+
+        import numpy as _np
+
+        a = _np.random.rand(300, 300)
+        n = 0
+        t0 = _t.time()
+        while _t.time() - t0 < dur_s:
+            a @ a
+            n += 1
+        return n
+
+    single = burn(dur)
+    with mp.get_context("spawn").Pool(n_procs) as p:
+        multi = sum(p.map(_burn_helper, [dur] * n_procs))
+    return round(multi / max(single, 1), 2)
+
+
+def _burn_helper(dur_s: float) -> int:
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.rand(300, 300)
+    n = 0
+    t0 = _t.time()
+    while _t.time() - t0 < dur_s:
+        a @ a
+        n += 1
+    return n
+
+
+def main_scaling() -> None:
+    """Same ER job at local[N] vs local[4N] on identical input (the
+    sandbox proxy for N vs 4N executors). Each run is a fresh subprocess
+    (cold JVM both times); best-of-SPARK_GRAFT_SCALE_REPS per config to
+    damp co-tenant noise. Reports the measured host capacity alongside so
+    the efficiency number is interpretable (BENCH.md)."""
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    pair = (n_low, 4 * n_low)
+    results = {}
+    for n in pair:
+        best = None
+        for _ in range(reps):
+            cmd = [sys.executable, __file__, "--er-once", str(n)]
+            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["scored_pairs_per_sec"] > best["scored_pairs_per_sec"]:
+                best = r
+        results[n] = best
+    tp_lo = results[pair[0]]["scored_pairs_per_sec"]
+    tp_hi = results[pair[1]]["scored_pairs_per_sec"]
+    eff = (tp_hi / tp_lo) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_{pair[0]}_to_{pair[1]}",
+                "value": round(eff, 3),
+                "unit": "fraction",
+                "throughput": {f"local[{pair[0]}]": tp_lo, f"local[{pair[1]}]": tp_hi},
+                "host_effective_core_ratio_8v1": probe_host_capacity(),
+                "detail": results,
+            }
+        )
+    )
+
+
+def main_er_once(cpus: str) -> None:
+    spark = _get_spark(f"local[{cpus}]")
+    fixture = ensure_fixture(spark, BENCH_ENTITIES)
+    print(json.dumps(run_er_pipeline(spark, fixture)))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--er-once" in sys.argv:
+        main_er_once(sys.argv[sys.argv.index("--er-once") + 1])
+    else:
+        main_default()

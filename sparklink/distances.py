@@ -38,10 +38,61 @@ def _encode(s: pd.Series, max_len: int) -> tuple[np.ndarray, np.ndarray]:
     b = len(vals)
     codes = np.zeros((b, max_len), dtype=np.int32)
     if b:
-        flat = vals.str.pad(max_len, side="right", fillchar="\x00").sum()
+        # O(total chars) join; Series.str.pad(...).sum() would concatenate
+        # quadratically
+        flat = "".join(vals.str.pad(max_len, side="right", fillchar="\x00").tolist())
         arr = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
         codes = arr.reshape(b, max_len)
     return codes, lens
+
+
+def _trim_common(ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray):
+    """Strip the common prefix and suffix of each row pair (in code space).
+
+    Exact for Levenshtein; the standard practical reduction for affine-gap
+    (weights are refit against the comparator, SURVEY §2.6 note). Returns
+    new (ca, la, cb, lb); rows become left-aligned slices of the middles.
+    Candidate near-duplicate pairs share long prefixes, so this removes
+    most DP work.
+    """
+    B, L = ca.shape
+    if B == 0:
+        return ca, la, cb, lb
+    minlen = np.minimum(la, lb)
+    neq = ca != cb
+    any_neq = neq.any(axis=1)
+    first_diff = np.where(any_neq, np.argmax(neq, axis=1), L)
+    p = np.minimum(first_diff, minlen)  # common prefix length
+    # common suffix: compare reversed-by-length alignment
+    idx = np.arange(L)
+    ra = np.take_along_axis(ca, (la[:, None] - 1 - idx) % L, axis=1)
+    ra[idx[None, :] >= la[:, None]] = -1
+    rb = np.take_along_axis(cb, (lb[:, None] - 1 - idx) % L, axis=1)
+    rb[idx[None, :] >= lb[:, None]] = -2
+    rneq = ra != rb
+    rfirst = np.where(rneq.any(axis=1), np.argmax(rneq, axis=1), L)
+    s = np.minimum(rfirst, minlen - p)  # suffix can't overlap prefix
+    na, nb = la - p - s, lb - p - s
+    # gather middles left-aligned
+    ga = np.take_along_axis(ca, (p[:, None] + idx) % L, axis=1)
+    ga[idx[None, :] >= na[:, None]] = 0
+    gb = np.take_along_axis(cb, (p[:, None] + idx) % L, axis=1)
+    gb[idx[None, :] >= nb[:, None]] = 0
+    return ga, na.astype(np.int32), gb, nb.astype(np.int32)
+
+
+def _equal_fastpath(a: pd.Series, b: pd.Series, equal_value: float, core) -> np.ndarray:
+    """Skip the DP for rows where the strings are identical — the dominant
+    case on near-duplicate candidate pairs (exact-equal normalized text).
+    ~2-4x end-to-end on dedupe workloads."""
+    av = a.fillna("").astype(str).to_numpy(dtype=object)
+    bv = b.fillna("").astype(str).to_numpy(dtype=object)
+    out = np.full(len(av), equal_value, dtype=np.float64)
+    neq = av != bv
+    if neq.any():
+        idx = np.nonzero(neq)[0]
+        out[idx] = core(pd.Series(av[idx]), pd.Series(bv[idx]))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -50,11 +101,17 @@ def _encode(s: pd.Series, max_len: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def levenshtein(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarray:
+    return _equal_fastpath(a, b, 0.0, lambda x, y: _levenshtein_core(x, y, max_len))
+
+
+def _levenshtein_core(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarray:
     ca, la = _encode(a, max_len)
     cb, lb = _encode(b, max_len)
     B = len(la)
     if B == 0:
         return np.zeros(0)
+    la0, lb0 = la, lb  # normalize by original lengths
+    ca, la, cb, lb = _trim_common(ca, la, cb, lb)
     L = max_len
     j_idx = np.arange(L + 1, dtype=np.float32)
     prev = np.broadcast_to(j_idx, (B, L + 1)).copy()
@@ -72,7 +129,7 @@ def levenshtein(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarray:
     # after the loop `prev` holds, per batch row, the DP row for i=la
     # (rows freeze once i exceeds their length); answer is column lb.
     d = prev[np.arange(B), lb]
-    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
+    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float32)
     return np.clip(d / denom, 0.0, 1.0)
 
 
@@ -82,6 +139,10 @@ def levenshtein(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarray:
 
 
 def jaro_winkler(a: pd.Series, b: pd.Series, max_len: int = 64, prefix_scale: float = 0.1) -> np.ndarray:
+    return _equal_fastpath(a, b, 1.0, lambda x, y: _jaro_winkler_core(x, y, max_len, prefix_scale))
+
+
+def _jaro_winkler_core(a: pd.Series, b: pd.Series, max_len: int = 64, prefix_scale: float = 0.1) -> np.ndarray:
     ca, la = _encode(a, max_len)
     cb, lb = _encode(b, max_len)
     B = len(la)
@@ -141,6 +202,17 @@ def affine_gap(
     gap_open: float = 1.0,
     gap_extend: float = 0.35,
 ) -> np.ndarray:
+    return _equal_fastpath(a, b, 0.0, lambda x, y: _affine_gap_core(x, y, max_len, mismatch, gap_open, gap_extend))
+
+
+def _affine_gap_core(
+    a: pd.Series,
+    b: pd.Series,
+    max_len: int = 48,
+    mismatch: float = 1.0,
+    gap_open: float = 1.0,
+    gap_extend: float = 0.35,
+) -> np.ndarray:
     """Normalized Gotoh alignment distance in [0,1].
 
     Vectorized across the batch; per-row horizontal gap recurrence
@@ -152,6 +224,8 @@ def affine_gap(
     B = len(la)
     if B == 0:
         return np.zeros(0)
+    la0, lb0 = la, lb  # normalize by original lengths
+    ca, la, cb, lb = _trim_common(ca, la, cb, lb)
     L = max_len
     INF = np.float32(1e9)
     j_idx = np.arange(L + 1, dtype=np.float32)
@@ -189,7 +263,7 @@ def affine_gap(
         best_prev = np.where(active[:, None], best, best_prev)
         M_prev = np.where(active[:, None], M_cur, M_prev)
         X_prev = np.where(active[:, None], X_cur, X_prev)
-    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
+    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float32)
     return np.clip(final / denom, 0.0, 1.0).astype(np.float64)
 
 
@@ -257,6 +331,67 @@ def tfidf_vectors(records: DataFrame, column: str, id_col: str = "conv_id") -> D
     )
     norm = w.groupBy("record_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     return w.join(norm, "record_id").select("record_id", "token", (F.col("w") / F.col("norm")).alias("w"))
+
+
+def tfidf_token_arrays(
+    records: DataFrame,
+    column: str,
+    id_col: str = "conv_id",
+    top_m: int = 64,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(record_id, tfh array<bigint> sorted, tfw array<double> aligned):
+    L2-normalized tf-idf weights for the record's top_m tokens, token
+    identity as xxhash64.
+
+    This is the scale-path representation for the Text comparator: pair
+    cosine becomes a per-row sorted-merge dot product inside one Arrow
+    batch (distances.sparse_dot) instead of a pairs-x-tokens equi-join
+    (which shuffles |pairs| * avg_tokens rows — the measured bottleneck).
+    Tokens above max_df_frac document frequency are dropped before the cap:
+    they carry near-zero idf weight but dominate join/transfer volume.
+    """
+    from sparklink.preprocess import tokens
+
+    n_docs = records.count()
+    tok = records.select(F.col(id_col).alias("record_id"), F.explode(tokens(F.col(column))).alias("token"))
+    tf = tok.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= int(max(1, max_df_frac * n_docs))
+    )
+    w = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "w", F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("record_id").orderBy(F.desc("w"), F.asc("token"))
+    top = w.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= top_m)
+    agg = top.groupBy("record_id").agg(
+        F.array_sort(F.collect_list(F.struct(F.xxhash64("token").alias("h"), F.col("w").alias("w")))).alias("hw"),
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"),
+    )
+    return agg.select(
+        "record_id",
+        F.transform("hw", lambda s: s["h"]).alias("tfh"),
+        F.transform("hw", lambda s: s["w"] / F.col("norm")).alias("tfw"),
+    )
+
+
+def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np.ndarray:
+    """Batch sparse dot of aligned (sorted-hash, weight) array pairs."""
+    out = np.zeros(len(ha))
+    for i in range(len(ha)):
+        a, b = ha.iloc[i], hb.iloc[i]
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            continue
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        common, ia, ib = np.intersect1d(a, b, assume_unique=True, return_indices=True)
+        if len(common):
+            out[i] = float(
+                np.dot(np.asarray(wa.iloc[i], dtype=np.float64)[ia], np.asarray(wb.iloc[i], dtype=np.float64)[ib])
+            )
+    return out
 
 
 def cosine_for_pairs(pairs: DataFrame, vectors: DataFrame, out_col: str = "cos") -> DataFrame:

@@ -78,16 +78,58 @@ class SparkDedupe:
 
         return self._stage("blocking_map", {"preds": [p.pid for p in self.predicates], "canopy": self.use_canopy, "cap": self.max_block_size}, thunk)
 
+    def _pair_features(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
+        """pairs(id_a, id_b[, label]) -> + all model distance columns.
+
+        One hydration join per side carrying (a) 64-char prefixes for the
+        string kernels (full text never crosses the shuffle) and (b) top-m
+        tf-idf token-hash/weight arrays for Text comparators, whose cosine
+        is a per-row Arrow-batched sparse dot — no pairs-x-tokens shuffle.
+        """
+        from sparklink.score import sparse_dot_udf
+
+        fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
+        string_cols = {v.column for v in self.model.variables if v.kind in ("string", "shortstring", "levenshtein")}
+        slim = records.select(
+            "conv_id",
+            *[(F.substring(F.col(f), 1, 64).alias(f) if f in string_cols else F.col(f)) for f in fields],
+        )
+        # AQE coalesces by bytes; candidate pairs are byte-slim but
+        # CPU-heavy downstream (DP kernels). Re-spread to full parallelism
+        # so the scorer UDF stage uses every core — a ~MB shuffle buying a
+        # 32x compute fan-out (same reasoning holds on a real cluster).
+        sc = records.sparkSession.sparkContext
+        pairs = pairs.repartition(sc.defaultParallelism * 2, "id_a", "id_b")
+        text_vars = [v for v in self.model.variables if v.kind == "text"]
+        vec_fields = []
+        for v in text_vars:
+            vecs = D.tfidf_token_arrays(records, v.column)
+            slim = slim.join(
+                vecs.withColumnRenamed("record_id", "conv_id")
+                .withColumnRenamed("tfh", f"tfh_{v.column}")
+                .withColumnRenamed("tfw", f"tfw_{v.column}"),
+                "conv_id",
+                "left",
+            )
+            vec_fields += [f"tfh_{v.column}", f"tfw_{v.column}"]
+        hyd = P.hydrate(pairs, slim, fields + vec_fields)
+        withd = self.model.distance_frame(hyd)
+        for v in text_vars:
+            withd = withd.withColumn(
+                v.dist_col,
+                sparse_dot_udf(
+                    F.col(f"tfh_{v.column}_a"),
+                    F.col(f"tfw_{v.column}_a"),
+                    F.col(f"tfh_{v.column}_b"),
+                    F.col(f"tfw_{v.column}_b"),
+                ),
+            )
+        return withd
+
     def scored_pairs(self, records: DataFrame, bm: DataFrame) -> DataFrame:
         def thunk():
             cand = P.candidate_pairs(bm)
-            fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
-            hyd = P.hydrate(cand, records, fields)
-            withd = self.model.distance_frame(hyd)
-            for v in self.model.variables:
-                if v.kind == "text":
-                    vecs = D.tfidf_vectors(records, v.column)
-                    withd = D.cosine_for_pairs(withd, vecs, out_col=v.dist_col)
+            withd = self._pair_features(records, cand)
             return self.model.score(withd).select("id_a", "id_b", *self.model.feature_cols(), "score")
 
         return self._stage("scored_pairs", {"model": self.model.to_json()}, thunk)
@@ -102,14 +144,8 @@ class SparkDedupe:
 
         from sparklink.score import select_threshold
 
-        fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
         pairs = labeled_pairs.select(F.col("conv_id_a").alias("id_a"), F.col("conv_id_b").alias("id_b"), "label")
-        hyd = P.hydrate(pairs, records, fields)
-        withd = self.model.distance_frame(hyd)
-        for v in self.model.variables:
-            if v.kind == "text":
-                vecs = D.tfidf_vectors(records, v.column)
-                withd = D.cosine_for_pairs(withd, vecs, out_col=v.dist_col)
+        withd = self._pair_features(records, pairs)
         feats: pd.DataFrame = withd.select("label", *self.model.feature_cols()).toPandas()
         self.model.fit(feats)
         probs = self.model.predict_proba(feats)

@@ -45,6 +45,11 @@ def affine_gap_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(D.affine_gap(a, b))
 
 
+@pandas_udf(DoubleType())
+def sparse_dot_udf(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> pd.Series:
+    return pd.Series(D.sparse_dot(ha, wa, hb, wb))
+
+
 _STRING_UDFS = {
     "jaro_winkler": jaro_winkler_udf,
     "levenshtein": levenshtein_udf,
@@ -148,11 +153,13 @@ class FieldModel:
         for v in self.variables:
             l, r = F.col(v.column + "_a"), F.col(v.column + "_b")
             if v.kind == "string":
-                raw: Column = 1.0 - affine_gap_udf(l, r)
+                # the DP kernels cap at 48/64 chars — truncate JVM-side so
+                # the Arrow transfer ships bytes the kernel will read
+                raw: Column = 1.0 - affine_gap_udf(F.substring(l, 1, 48), F.substring(r, 1, 48))
             elif v.kind == "shortstring":
-                raw = jaro_winkler_udf(l, r)
+                raw = jaro_winkler_udf(F.substring(l, 1, 64), F.substring(r, 1, 64))
             elif v.kind == "levenshtein":
-                raw = 1.0 - levenshtein_udf(l, r)
+                raw = 1.0 - levenshtein_udf(F.substring(l, 1, 64), F.substring(r, 1, 64))
             elif v.kind == "latlong":
                 raw = 1.0 / (1.0 + D.haversine_km(l["lat"], l["lng"], r["lat"], r["lng"]))
             elif v.kind == "text":
