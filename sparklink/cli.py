@@ -1,0 +1,171 @@
+"""spark-submit entry point (north_star: ships as --py-files package).
+
+Usage (cluster):
+    bash tools/build_pyfiles.sh                       # -> dist/sparklink.zip
+    spark-submit --py-files dist/sparklink.zip \
+        --conf spark.sql.shuffle.partitions=2048 \
+        sparklink/cli.py dedupe \
+        --transcripts s3://.../transcripts --labeled s3://.../labeled_pairs \
+        --warehouse s3://.../warehouse --out s3://.../entity_map
+
+Subcommands mirror the reference drivers:
+    dedupe    ≙ csv_example / mysql_example end-to-end
+    link      ≙ record_linkage_example (two sources)
+    gazetteer ≙ gazetteer_example (index + match + write-back)
+    synth     generate a deterministic fixture (testing/benching)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+try:  # direct `python sparklink/cli.py` / spark-submit without --py-files
+    import sparklink  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(args):
+    from sparklink.session import get_spark
+
+    return get_spark(app_name=f"sparklink-{args.cmd}", master=args.master)
+
+
+def _load_model(path: str | None):
+    from sparklink.pipeline import default_transcript_model
+
+    if not path:
+        return default_transcript_model(), None
+    from sparklink.score import FieldModel
+
+    art = json.load(open(path))
+    return FieldModel.from_json(json.dumps(art)), art.get("threshold")
+
+
+def cmd_dedupe(args) -> None:
+    from pyspark.sql import functions as F
+
+    from sparklink.checkpoints import Catalog
+    from sparklink.evaluate import pairwise_prf
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.sinks import clustered_output, write_parquet
+
+    spark = _spark(args)
+    model, threshold = _load_model(args.model)
+    dd = SparkDedupe(model=model, catalog=Catalog(spark, args.warehouse) if args.warehouse else None)
+    if threshold:
+        dd.threshold = threshold
+    transcripts = spark.read.parquet(args.transcripts)
+    records = dd.canonical_records(transcripts)
+    if model.weights is None:
+        assert args.labeled, "untrained model needs --labeled pairs"
+        dd.fit(records, spark.read.parquet(args.labeled))
+        print(json.dumps({"fitted_threshold": dd.threshold}))
+    em = dd.partition(transcripts)
+    write_parquet(em, args.out)
+    out = {"entity_map_rows": em.count(), "clusters": em.select("canon_id").distinct().count()}
+    if args.truth:
+        out["prf"] = pairwise_prf(em, spark.read.parquet(args.truth))
+    if args.csv_out:
+        from sparklink.sinks import write_csv
+
+        write_csv(clustered_output(records, em), args.csv_out)
+    print(json.dumps(out))
+
+
+def cmd_link(args) -> None:
+    from pyspark.sql import functions as F
+
+    from sparklink.linkage import SparkRecordLink
+    from sparklink.sinks import linked_output, write_parquet
+
+    spark = _spark(args)
+    model, threshold = _load_model(args.model)
+    rl = SparkRecordLink(model=model)
+    if threshold:
+        rl.threshold = threshold
+    transcripts = spark.read.parquet(args.transcripts)
+    records = rl.canonical(transcripts, extra_cols=["source"])
+    if model.weights is None:
+        assert args.labeled, "untrained model needs --labeled pairs (or pass --model with fitted weights)"
+        rl.fit(records, spark.read.parquet(args.labeled))
+    left = records.filter(F.col("source") == "a").drop("source")
+    right = records.filter(F.col("source") == "b").drop("source")
+    matches = rl.join(left, right)
+    write_parquet(matches, args.out)
+    print(json.dumps({"matches": matches.count()}))
+
+
+def cmd_gazetteer(args) -> None:
+    from pyspark.sql import functions as F
+
+    from sparklink.linkage import SparkGazetteer
+    from sparklink.sinks import write_parquet
+
+    spark = _spark(args)
+    model, threshold = _load_model(args.model)
+    gaz = SparkGazetteer(model=model, threshold=threshold or 0.5)
+    transcripts = spark.read.parquet(args.transcripts)
+    from sparklink.canonicalize import canonicalize
+
+    records = canonicalize(transcripts, extra_cols=["source"])
+    canonical = records.filter(F.col("source") == "b").drop("source")
+    messy = records.filter(F.col("source") == "a").drop("source")
+    gaz.index(canonical)
+    matches = gaz.match(messy)
+    updated, unmatched = gaz.apply_matches(messy, matches)
+    write_parquet(updated, args.out)
+    if args.unmatched_out:
+        write_parquet(unmatched, args.unmatched_out)
+    print(json.dumps({"matched": matches.count(), "unmatched": unmatched.count()}))
+
+
+def cmd_synth(args) -> None:
+    from sparklink.synth import write_fixture
+
+    spark = _spark(args)
+    paths = write_fixture(spark, args.out, n_entities=args.entities, seed=args.seed, two_sources=args.two_sources)
+    print(json.dumps(paths))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="sparklink")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedupe")
+    d.add_argument("--transcripts", required=True)
+    d.add_argument("--labeled")
+    d.add_argument("--truth")
+    d.add_argument("--model")
+    d.add_argument("--warehouse")
+    d.add_argument("--out", required=True)
+    d.add_argument("--csv-out")
+
+    l = sub.add_parser("link")
+    l.add_argument("--transcripts", required=True)
+    l.add_argument("--labeled")
+    l.add_argument("--model")
+    l.add_argument("--out", required=True)
+
+    g = sub.add_parser("gazetteer")
+    g.add_argument("--transcripts", required=True)
+    g.add_argument("--model")
+    g.add_argument("--out", required=True)
+    g.add_argument("--unmatched-out")
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out", required=True)
+    s.add_argument("--entities", type=int, default=300)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--two-sources", action="store_true")
+
+    args = p.parse_args(argv)
+    {"dedupe": cmd_dedupe, "link": cmd_link, "gazetteer": cmd_gazetteer, "synth": cmd_synth}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

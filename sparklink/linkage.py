@@ -1,0 +1,161 @@
+"""RecordLink and Gazetteer modes (SURVEY §2.8).
+
+SparkRecordLink — link two clean sources; only cross-source pairs are
+compared (``linker.join(data_1, data_2, 0.0)``,
+record_linkage_example/record_linkage_example.py:167): blocked cross join,
+scored like dedupe, then greedy one-to-one-ish matching via mutual-rank-1
+(the dedupe RecordLink clustering convention [lib]).
+
+SparkGazetteer — incremental match of messy records against a canonical
+index (gazetteer_example): persisted blocking index over the canonical
+side, ``search(messy, n_matches)`` = blocked join + window top-n,
+``match(threshold)`` = rank-1 above threshold
+(gazetteer_example/gazetteer_postgres_example.py:303-309), plus the
+write-back sinks (MERGE-equivalent update + insert-unmatched,
+gazetteer_example/gazetteer_postgres_example.py:313-345).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklink import blocking as B
+from sparklink import pairs as P
+from sparklink.canonicalize import canonicalize
+from sparklink.pipeline import SparkDedupe, default_transcript_model, default_transcript_predicates
+from sparklink.score import FieldModel
+
+
+@dataclass
+class SparkRecordLink:
+    """Two-source linkage over canonicalized transcript records."""
+
+    model: FieldModel = field(default_factory=default_transcript_model)
+    predicates: list[B.Predicate] = field(default_factory=default_transcript_predicates)
+    threshold: float = 0.0
+    max_block_size: int = 200
+
+    def _dd(self) -> SparkDedupe:
+        return SparkDedupe(model=self.model, predicates=self.predicates, threshold=self.threshold)
+
+    def canonical(self, transcripts: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+        return canonicalize(transcripts, extra_cols=extra_cols)
+
+    def fit(self, records_all: DataFrame, labeled_pairs: DataFrame, recall_weight: float = 1.0) -> None:
+        dd = self._dd()
+        dd.fit(records_all, labeled_pairs, recall_weight=recall_weight)
+        self.threshold = dd.threshold
+
+    def scored_cross_pairs(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Cross-source candidate pairs + scores (never within-source)."""
+        bm_l = B.cap_block_sizes(B.build_blocking_map(left, self.predicates), self.max_block_size)
+        bm_r = B.cap_block_sizes(B.build_blocking_map(right, self.predicates), self.max_block_size)
+        cand = P.candidate_pairs_cross(bm_l, bm_r)
+        # hydrate sides from their own records (ids may collide across
+        # sources — the synthetic-id trick of record_linkage_example.py:54
+        # is unnecessary because sides stay separate frames)
+        dd = self._dd()
+        both = left.unionByName(right)
+        withd = dd._pair_features(both, cand)
+        return dd.model.score(withd).select("id_a", "id_b", *dd.model.feature_cols(), "score")
+
+    @staticmethod
+    def one_to_one(scored: DataFrame, threshold: float = 0.0) -> DataFrame:
+        """Greedy one-to-one matching: keep pairs that are rank-1 for BOTH
+        sides (mutual best), score >= threshold. The Spark form of dedupe's
+        greedy RecordLink matching [lib]; mutual-rank-1 is deterministic
+        with (score desc, id) tiebreaks and removes the driver-side greedy
+        loop.
+        """
+        wl = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
+        wr = Window.partitionBy("id_b").orderBy(F.desc("score"), F.asc("id_a"))
+        return (
+            scored.filter(F.col("score") >= threshold)
+            .withColumn("rank_a", F.row_number().over(wl))
+            .withColumn("rank_b", F.row_number().over(wr))
+            .filter((F.col("rank_a") == 1) & (F.col("rank_b") == 1))
+            .select("id_a", "id_b", "score")
+        )
+
+    def join(self, left: DataFrame, right: DataFrame, threshold: float | None = None) -> DataFrame:
+        """≙ linker.join(data_1, data_2, threshold): (id_a, id_b, score)."""
+        return self.one_to_one(self.scored_cross_pairs(left, right), threshold if threshold is not None else self.threshold)
+
+
+@dataclass
+class SparkGazetteer:
+    """Index canonical records once; search/match messy batches against it."""
+
+    model: FieldModel = field(default_factory=default_transcript_model)
+    predicates: list[B.Predicate] = field(default_factory=default_transcript_predicates)
+    threshold: float = 0.5
+    max_block_size: int = 200
+    _canonical: DataFrame | None = None
+    _index: DataFrame | None = None
+
+    def index(self, canonical_records: DataFrame) -> None:
+        """≙ gazetteer.index(canonical) — build + persist the blocking index
+        (gazetteer_example/gazetteer_example.py:157). On a real deployment
+        this frame is an Iceberg table (indexed_records,
+        gazetteer_postgres_example.py:58-76)."""
+        self._canonical = canonical_records
+        self._index = B.cap_block_sizes(
+            B.build_blocking_map(canonical_records, self.predicates), self.max_block_size
+        ).persist()
+        self._index.count()
+
+    def unindex(self) -> None:
+        if self._index is not None:
+            self._index.unpersist()
+            self._index = None
+
+    def _scored(self, messy_records: DataFrame) -> DataFrame:
+        assert self._index is not None, "call index(canonical) first"
+        bm_messy = B.cap_block_sizes(B.build_blocking_map(messy_records, self.predicates), self.max_block_size)
+        cand = (
+            bm_messy.withColumnRenamed("record_id", "id_a")
+            .join(self._index.withColumnRenamed("record_id", "id_b"), "block_key")
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        dd = SparkDedupe(model=self.model, predicates=self.predicates, threshold=self.threshold)
+        both = messy_records.unionByName(self._canonical)
+        withd = dd._pair_features(both, cand)
+        return dd.model.score(withd).select("id_a", "id_b", "score")
+
+    def search(self, messy_records: DataFrame, n_matches: int = 2) -> DataFrame:
+        """≙ gazetteer.search(messy, n_matches) — top-n canonical matches per
+        messy record (gazetteer_example/gazetteer_example.py:159).
+        Returns (messy_id, canonical_id, score, rank)."""
+        w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
+        return (
+            self._scored(messy_records)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_matches)
+            .select(
+                F.col("id_a").alias("messy_id"), F.col("id_b").alias("canonical_id"), "score", "rank"
+            )
+        )
+
+    def match(self, messy_records: DataFrame, threshold: float | None = None) -> DataFrame:
+        """≙ gazetteer.match — best match above threshold
+        (gazetteer_postgres_example.py:309). (messy_id, canonical_id, score)."""
+        t = self.threshold if threshold is None else threshold
+        return (
+            self.search(messy_records, n_matches=1)
+            .filter(F.col("score") >= t)
+            .select("messy_id", "canonical_id", "score")
+        )
+
+    def apply_matches(self, messy_records: DataFrame, matches: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """The write-back pair of gazetteer_postgres_example.py:313-345:
+        (updated, unmatched). ``updated`` = messy records + canonical_id
+        (MERGE-shaped left join); ``unmatched`` = anti-join, the rows the
+        reference INSERTs into the gazetteer."""
+        m = matches.select(F.col("messy_id").alias("conv_id"), "canonical_id", F.col("score").alias("link_score"))
+        updated = messy_records.join(m, "conv_id", "left")
+        unmatched = messy_records.join(m.select("conv_id"), "conv_id", "left_anti")
+        return updated, unmatched

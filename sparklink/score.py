@@ -92,11 +92,15 @@ def select_threshold(scores: np.ndarray, labels: np.ndarray, recall_weight: floa
 # ---------------------------------------------------------------------------
 
 _COMPARATORS = {
-    # name -> (needs_udf, fn(l_col, r_col) -> Column)
+    # name -> fn(l_col, r_col) -> Column
     "exact": D.exact_cmp,
     "jaccard": D.jaccard_arrays,
     "price": D.price_diff,
     "relnum": D.rel_num_diff,
+    # dedupe Categorical (extended-variables/officers.py:115-117) compared
+    # as same-category indicator (documented deviation from per-category
+    # dummy encoding; LR weight absorbs the scale)
+    "categorical": D.exact_cmp,
 }
 
 
