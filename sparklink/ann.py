@@ -102,7 +102,7 @@ def train_ivf_centroids(
     """Lloyd iterations as DataFrame jobs (assign = broadcast argmin join,
     update = groupBy mean). Deterministic init from seeded sample."""
     dim = len(corpus.select(vec_col).first()[0])
-    init = corpus.select(with_unit_vectors(corpus, vec_col, "u").u.alias("u")).limit(n_cells * 4).toPandas()
+    init = with_unit_vectors(corpus, vec_col, "u").select("u").limit(n_cells * 4).toPandas()
     rng = np.random.default_rng(seed)
     cents = np.stack(init["u"].to_numpy()[rng.permutation(len(init))[:n_cells]])
     c = with_unit_vectors(corpus, vec_col).select(F.col("unit"))

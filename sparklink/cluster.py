@@ -77,11 +77,80 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
     return labels.select(F.col("id").alias("record_id"), F.col("label").alias("component"))
 
 
+def refine_components(
+    edges: DataFrame,
+    comps: DataFrame,
+    threshold: float,
+    max_component: int = 2000,
+) -> DataFrame:
+    """Average-linkage HAC within each connected component, cut at
+    distance 1-threshold — dedupe's hierarchical clustering semantics
+    [lib] (deduper.cluster, mysql_example/mysql_example.py:269-271), which
+    transitive closure alone lacks: a chain A~B~C with a weak A-C edge
+    over-merges under pure CC (SURVEY §7 hard part (c)).
+
+    Components are small post-blocking, so per-component HAC runs as
+    applyInPandas (numpy, O(n^3) worst case, n capped); oversized
+    components keep their CC assignment (logged by the caller via sizes).
+    Returns (record_id, canon_id) with canon = min member id per refined
+    cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cut = 1.0 - threshold
+
+    e = edges.join(comps.withColumnRenamed("record_id", "id_a"), "id_a").select(
+        "component", "id_a", "id_b", "score"
+    )
+
+    def hac(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
+        n = len(ids)
+        if n > max_component or n <= 2:
+            canon = min(ids)
+            return pd.DataFrame({"record_id": ids, "canon_id": canon})
+        pos = {r: i for i, r in enumerate(ids)}
+        d = np.ones((n, n))
+        np.fill_diagonal(d, 0.0)
+        for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["score"]):
+            i, j = pos[a], pos[b]
+            d[i, j] = d[j, i] = 1.0 - s
+        # average-linkage agglomeration with stored cluster sizes
+        active = list(range(n))
+        members: dict[int, list[int]] = {i: [i] for i in range(n)}
+        while len(active) > 1:
+            best = (None, None, np.inf)
+            for ii in range(len(active)):
+                for jj in range(ii + 1, len(active)):
+                    a_, b_ = active[ii], active[jj]
+                    if d[a_, b_] < best[2]:
+                        best = (a_, b_, d[a_, b_])
+            a_, b_, dist = best
+            if dist > cut:
+                break
+            na, nb = len(members[a_]), len(members[b_])
+            for c in active:
+                if c not in (a_, b_):
+                    d[a_, c] = d[c, a_] = (d[a_, c] * na + d[b_, c] * nb) / (na + nb)
+            members[a_] += members.pop(b_)
+            active.remove(b_)
+        rows = []
+        for root in active:
+            mids = [ids[k] for k in members[root]]
+            canon = min(mids)
+            rows += [(m, canon) for m in mids]
+        return pd.DataFrame(rows, columns=["record_id", "canon_id"])
+
+    return e.groupBy("component").applyInPandas(hac, "record_id string, canon_id string")
+
+
 def entity_map(
     scored_pairs: DataFrame,
     records: DataFrame,
     threshold: float = 0.5,
     id_col: str = "conv_id",
+    refine: bool = False,
 ) -> DataFrame:
     """scored pairs + full record set -> (record_id, canon_id, cluster_score).
 
@@ -92,9 +161,16 @@ def entity_map(
     """
     edges = scored_pairs.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
     comps = connected_components(edges.select("id_a", "id_b"))
-    # confidence: mean incident edge score within the component
-    inc = edges.select(F.col("id_a").alias("record_id"), "score").union(
-        edges.select(F.col("id_b").alias("record_id"), "score")
+    if refine:
+        refined = refine_components(edges, comps, threshold)
+        comps = refined.select("record_id", F.col("canon_id").alias("component"))
+    # confidence: mean incident edge score to co-members of the SAME final
+    # cluster (matters under refinement, where an edge may cross clusters)
+    ca = comps.select(F.col("record_id").alias("id_a"), F.col("component").alias("comp_a"))
+    cb = comps.select(F.col("record_id").alias("id_b"), F.col("component").alias("comp_b"))
+    within = edges.join(ca, "id_a").join(cb, "id_b").filter(F.col("comp_a") == F.col("comp_b"))
+    inc = within.select(F.col("id_a").alias("record_id"), "score").union(
+        within.select(F.col("id_b").alias("record_id"), "score")
     )
     conf = inc.groupBy("record_id").agg(F.avg("score").alias("cluster_score"))
     clustered = comps.join(conf, "record_id", "left")

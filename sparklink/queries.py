@@ -569,3 +569,194 @@ def multimodal_features(spark, sf_dir):
 
     media = synth_media(spark, n=128, seed=3)
     return extract_features(media, dim=8)
+
+
+# --- additional operator coverage (round 1 extension) -----------------------
+
+
+@q(
+    "er_topn_matches",
+    DUCK_BLOCKKEYS_CTE
+    + f""",
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+feat AS (SELECT conv_id, list_distinct({DUCK_TOKENS.format(c="conv_text")}) AS tokset FROM records),
+scored AS (
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / nullif(len(list_distinct(a.tokset || b.tokset)), 0), 6) AS sim
+    FROM pairs p JOIN feat a ON p.id_a = a.conv_id JOIN feat b ON p.id_b = b.conv_id
+)
+SELECT id_a, id_b, sim, rank FROM (
+    SELECT id_a, id_b, sim, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b ASC) AS rank
+    FROM scored
+) WHERE rank <= 2
+""",
+)
+def er_topn_matches(spark, sf_dir):
+    """Gazetteer search shape: top-n matches per record via window rank
+    (gazetteer_example/gazetteer_example.py:159)."""
+    from pyspark.sql import Window
+
+    sp = er_pair_scores(spark, sf_dir).withColumnRenamed("token_jaccard", "sim").drop("same_turns")
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return sp.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2)
+
+
+@q(
+    "er_one_to_one",
+    DUCK_BLOCKKEYS_CTE
+    + f""",
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+feat AS (SELECT conv_id, list_distinct({DUCK_TOKENS.format(c="conv_text")}) AS tokset FROM records),
+scored AS (
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / nullif(len(list_distinct(a.tokset || b.tokset)), 0), 6) AS sim
+    FROM pairs p JOIN feat a ON p.id_a = a.conv_id JOIN feat b ON p.id_b = b.conv_id
+)
+SELECT id_a, id_b, sim FROM (
+    SELECT id_a, id_b, sim,
+           row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b ASC) AS ra,
+           row_number() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a ASC) AS rb
+    FROM scored
+) WHERE ra = 1 AND rb = 1
+""",
+)
+def er_one_to_one(spark, sf_dir):
+    """RecordLink greedy one-to-one as mutual-rank-1 (SURVEY §2.8
+    linker.join semantics)."""
+    from sparklink.linkage import SparkRecordLink
+
+    sp = er_pair_scores(spark, sf_dir).withColumnRenamed("token_jaccard", "score").drop("same_turns")
+    return SparkRecordLink.one_to_one(sp, threshold=-1.0).withColumnRenamed("score", "sim")
+
+
+@q(
+    "er_components",
+    DUCK_BLOCKKEYS_CTE
+    + f""",
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+feat AS (SELECT conv_id, list_distinct({DUCK_TOKENS.format(c="conv_text")}) AS tokset FROM records),
+edges AS (
+    SELECT id_a, id_b FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+               / nullif(len(list_distinct(a.tokset || b.tokset)), 0) AS sim
+        FROM pairs p JOIN feat a ON p.id_a = a.conv_id JOIN feat b ON p.id_b = b.conv_id
+    ) WHERE sim >= 0.8
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges),
+cc AS (
+    WITH RECURSIVE reach(id, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.id
+    )
+    SELECT id, min(label) AS component FROM reach GROUP BY id
+)
+SELECT r.conv_id AS record_id, coalesce(cc.component, r.conv_id) AS component
+FROM records r LEFT JOIN cc ON r.conv_id = cc.id
+""",
+)
+def er_components(spark, sf_dir):
+    """Distributed connected components vs a recursive-CTE oracle — the
+    clustering operator (SURVEY §2.8; transitive closure of score>=t
+    edges). Singletons are their own component (coalesce pattern)."""
+    from sparklink.cluster import connected_components
+
+    recs = er_records(spark, sf_dir)
+    sp = er_pair_scores(spark, sf_dir)
+    edges = sp.filter(F.col("token_jaccard") >= 0.8).select("id_a", "id_b")
+    comps = connected_components(edges)
+    return (
+        recs.select(F.col("conv_id").alias("record_id"))
+        .join(comps, "record_id", "left")
+        .select("record_id", F.coalesce(F.col("component"), F.col("record_id")).alias("component"))
+    )
+
+
+@q(
+    "er_pairs_intersect",
+    DUCK_BLOCKKEYS_CTE
+    + """
+SELECT l.record_id AS id_a, r.record_id AS id_b
+FROM bk l JOIN bk r USING (block_key)
+WHERE l.record_id < r.record_id AND l.block_key LIKE 'ft:%'
+INTERSECT
+SELECT l.record_id, r.record_id
+FROM bk l JOIN bk r USING (block_key)
+WHERE l.record_id < r.record_id AND l.block_key LIKE 'p6:%'
+""",
+)
+def er_pairs_intersect(spark, sf_dir):
+    """Relation set-op (INTERSECT) over pair sets — the evaluation
+    primitives of csv_evaluation.py:6-17 expressed relationally."""
+    bk = er_block_keys(spark, sf_dir)
+
+    def pairs_of(prefix):
+        b = bk.filter(F.col("block_key").startswith(prefix))
+        l = b.select("block_key", F.col("record_id").alias("id_a"))
+        r = b.select("block_key", F.col("record_id").alias("id_b"))
+        return l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+
+    return pairs_of("ft:").intersect(pairs_of("p6:"))
+
+
+@q(
+    "q_json_roundtrip",
+    "SELECT c_custkey, c_name AS name2, c_mktsegment AS seg2 FROM customer",
+)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON payload projection + decode (to_json/from_json round-trip;
+    mysql_example/mysql_example.py:243-255 + 33-39)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    c = _t(spark, sf_dir, "customer")
+    schema = StructType([StructField("c_name", StringType()), StructField("c_mktsegment", StringType())])
+    packed = c.select("c_custkey", F.to_json(F.struct("c_name", "c_mktsegment")).alias("payload"))
+    return packed.select(
+        "c_custkey",
+        F.from_json("payload", schema)["c_name"].alias("name2"),
+        F.from_json("payload", schema)["c_mktsegment"].alias("seg2"),
+    )
+
+
+@q(
+    "q_events_json_extract",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_type = 'error'
+""",
+)
+def q_events_json_extract(spark, sf_dir):
+    """JSON decode of the props payload (json_object/row_to_json analogue,
+    SURVEY §2.2)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "error").select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@q("text_winnowing")  # xxhash64 fingerprints -> rows-only
+def text_winnowing(spark, sf_dir):
+    return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@q("ann_topk_ivf")  # seeded centroids -> rows-only
+def ann_topk_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ann.train_ivf_centroids(emb, n_cells=8, iters=2)
+    return ann.ivf_topk(emb, qs, cents, k=10, n_probe=3)

@@ -77,3 +77,29 @@ def test_entity_map_singletons_and_confidence(spark):
     assert pdf.loc["z", "canon_id"] == "z"
     assert abs(pdf.loc["b", "cluster_score"] - 0.8) < 1e-9  # mean(0.9, 0.7)
     assert np.isnan(pdf.loc["z", "cluster_score"])
+
+
+def test_refinement_splits_weak_chain(spark):
+    """Transitive closure merges A~B~C despite a weak A-C edge; average-
+    linkage refinement splits at the cut (dedupe cluster semantics)."""
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.85), ("a", "c", 0.1)],
+        "id_a string, id_b string, score double",
+    )
+    records = spark.createDataFrame([("a",), ("b",), ("c",)], "conv_id string")
+    em_cc = entity_map(scored, records, threshold=0.5, refine=False).toPandas().set_index("record_id")
+    assert set(em_cc["canon_id"]) == {"a"}  # over-merged by pure CC
+    em_hac = entity_map(scored, records, threshold=0.5, refine=True).toPandas().set_index("record_id")
+    assert em_hac.loc["a", "canon_id"] == em_hac.loc["b", "canon_id"] == "a"
+    assert em_hac.loc["c", "canon_id"] == "c"
+
+
+def test_refinement_keeps_dense_cluster(spark):
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.92), ("a", "c", 0.88), ("x", "y", 0.7)],
+        "id_a string, id_b string, score double",
+    )
+    records = spark.createDataFrame([(i,) for i in "abcxy"], "conv_id string")
+    em = entity_map(scored, records, threshold=0.5, refine=True).toPandas().set_index("record_id")
+    assert em.loc["a", "canon_id"] == em.loc["b", "canon_id"] == em.loc["c", "canon_id"] == "a"
+    assert em.loc["x", "canon_id"] == em.loc["y", "canon_id"] == "x"
