@@ -209,15 +209,20 @@ def main_scaling() -> None:
     (cold JVM both times); best-of-SPARK_GRAFT_SCALE_REPS per config to
     damp co-tenant noise. Reports the measured host capacity alongside so
     the efficiency number is interpretable (BENCH.md)."""
-    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # a larger corpus than the default bench: fixed per-stage overhead
+    # (~10 s of planning/worker spin-up) must be small next to kernel work
+    # or the ratio measures overhead, not scaling
+    entities = os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "2000")
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ENTITIES=entities)
     pair = (n_low, 4 * n_low)
     results = {}
     for n in pair:
         best = None
         for _ in range(reps):
             cmd = [sys.executable, __file__, "--er-once", str(n)]
-            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             r = json.loads(line)
             if best is None or r["scored_pairs_per_sec"] > best["scored_pairs_per_sec"]:

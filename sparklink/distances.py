@@ -337,7 +337,7 @@ def tfidf_token_arrays(
     records: DataFrame,
     column: str,
     id_col: str = "conv_id",
-    top_m: int = 64,
+    top_m: int = 48,
     max_df_frac: float = 0.5,
 ) -> DataFrame:
     """(record_id, tfh array<bigint> sorted, tfw array<double> aligned):
@@ -366,22 +366,29 @@ def tfidf_token_arrays(
 
     win = Window.partitionBy("record_id").orderBy(F.desc("w"), F.asc("token"))
     top = w.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= top_m)
+    # int32 hashes + float32 weights: halves the Arrow transfer per pair
+    # (hash collisions at 32 bits over <=top_m tokens/record are noise)
     agg = top.groupBy("record_id").agg(
-        F.array_sort(F.collect_list(F.struct(F.xxhash64("token").alias("h"), F.col("w").alias("w")))).alias("hw"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.pmod(F.xxhash64("token"), F.lit(1 << 31)).cast("int").alias("h"), F.col("w").alias("w"))
+            )
+        ).alias("hw"),
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"),
     )
     return agg.select(
         "record_id",
         F.transform("hw", lambda s: s["h"]).alias("tfh"),
-        F.transform("hw", lambda s: s["w"] / F.col("norm")).alias("tfw"),
+        F.transform("hw", lambda s: (s["w"] / F.col("norm")).cast("float")).alias("tfw"),
     )
 
 
 def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np.ndarray:
     """Batch sparse dot of aligned (sorted-hash, weight) array pairs."""
     out = np.zeros(len(ha))
-    for i in range(len(ha)):
-        a, b = ha.iloc[i], hb.iloc[i]
+    hav, wav, hbv, wbv = ha.values, wa.values, hb.values, wb.values
+    for i in range(len(out)):
+        a, b = hav[i], hbv[i]
         if a is None or b is None or len(a) == 0 or len(b) == 0:
             continue
         a = np.asarray(a, dtype=np.int64)
@@ -389,7 +396,7 @@ def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np
         common, ia, ib = np.intersect1d(a, b, assume_unique=True, return_indices=True)
         if len(common):
             out[i] = float(
-                np.dot(np.asarray(wa.iloc[i], dtype=np.float64)[ia], np.asarray(wb.iloc[i], dtype=np.float64)[ib])
+                np.dot(np.asarray(wav[i], dtype=np.float64)[ia], np.asarray(wbv[i], dtype=np.float64)[ib])
             )
     return out
 

@@ -24,6 +24,49 @@ from pyspark.sql import functions as F
 from sparklink.blocking import Predicate, build_blocking_map
 
 
+def sample_training_pairs(
+    records: DataFrame,
+    predicates: list[Predicate],
+    n_random: int = 500,
+    n_blocked: int = 500,
+    seed: int = 42,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """≙ prepare_training's random + blocked candidate sampling
+    (csv_example/csv_example.py:115-120 [lib]): returns unlabeled
+    (conv_id_a, conv_id_b) pairs — random pairs teach the classifier what
+    'obviously distinct' looks like, blocked pairs supply the near-misses.
+    Deterministic via seeded sample/hash ordering."""
+    spark = records.sparkSession
+    # random pairs: seeded hash-ordered sample, paired consecutively on the
+    # driver (sample size is a few hundred, like the reference's
+    # prepare_training sample)
+    sampled = [
+        r[0]
+        for r in records.select(F.col(id_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_random * 2)
+        .collect()
+    ]
+    rp = [tuple(sorted((sampled[2 * i], sampled[2 * i + 1]))) for i in range(len(sampled) // 2)]
+    rp = [(a_, b_) for a_, b_ in rp if a_ != b_]
+    random_pairs = spark.createDataFrame(rp or [("", "")], "conv_id_a string, conv_id_b string").filter(
+        F.col("conv_id_a") != ""
+    )
+    bm = build_blocking_map(records, predicates)
+    l = bm.select("block_key", F.col("record_id").alias("conv_id_a"))
+    r = bm.select("block_key", F.col("record_id").alias("conv_id_b"))
+    blocked = (
+        l.join(r, "block_key")
+        .filter(F.col("conv_id_a") < F.col("conv_id_b"))
+        .select("conv_id_a", "conv_id_b")
+        .dropDuplicates()
+        .orderBy(F.xxhash64("conv_id_a", "conv_id_b"))  # deterministic pseudo-shuffle
+        .limit(n_blocked)
+    )
+    return random_pairs.unionByName(blocked).dropDuplicates()
+
+
 def coverage_frame(records: DataFrame, predicates: list[Predicate], labeled_pairs: DataFrame) -> DataFrame:
     """(pid, id_a, id_b) — labeled pairs covered by each predicate."""
     ids = labeled_pairs.select(F.col("conv_id_a").alias("conv_id")).union(

@@ -760,3 +760,56 @@ def ann_topk_ivf(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     cents = ann.train_ivf_centroids(emb, n_cells=8, iters=2)
     return ann.ivf_topk(emb, qs, cents, k=10, n_probe=3)
+
+
+@q(
+    "q_sessionize",
+    """
+WITH s AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM s
+""",
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum over one window
+    partitioning; segmenting interaction logs into conversations)."""
+    from sparklink.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap_minutes=30).select("event_id", "user_id", F.col("session_idx").cast("bigint").alias("session_idx"))
+
+
+@q(
+    "q_session_stats",
+    """
+WITH s AS (
+    SELECT *,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s2 AS (
+    SELECT *, user_id || '#' || CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS session_id
+    FROM s
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s2 GROUP BY user_id, session_id
+""",
+)
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup (hypertable-rollup-style aggregate over derived
+    session keys)."""
+    from sparklink.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
