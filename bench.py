@@ -106,8 +106,15 @@ def run_er_pipeline(spark, fixture: str) -> dict:
     t_score = time.time()
 
     em = entity_map(scored, records, threshold=threshold)
+    em = em.persist()
     n_clusters = em.select("canon_id").distinct().count()
     t_cluster = time.time()
+
+    from sparklink.evaluate import pairwise_prf
+
+    truth = spark.read.parquet(f"{fixture}/conv_truth.parquet")
+    prf = pairwise_prf(em, truth)
+    em.unpersist()
 
     records.unpersist()
     bm.unpersist()
@@ -125,6 +132,9 @@ def run_er_pipeline(spark, fixture: str) -> dict:
         "sec_total": round(total, 2),
         "scored_pairs_per_sec": round(n_pairs / max(t_score - t_block, 1e-9), 1),
         "records_per_sec": round(n_records / max(total, 1e-9), 1),
+        "f1": round(prf["f1"], 4),
+        "precision": round(prf["precision"], 4),
+        "recall": round(prf["recall"], 4),
     }
 
 

@@ -188,6 +188,45 @@ def tfidf_canopy_keys(
     )
 
 
+def minhash_band_keys(
+    records: DataFrame,
+    column: str,
+    id_col: str = "conv_id",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle: str = "word",
+) -> DataFrame:
+    """MinHash-band blocking keys: records agreeing on any band of their
+    minhash signature share a key. The recall backstop for noisy text where
+    token/prefix predicates miss (scattered word drops/typos): with k=32,
+    bands=8 (r=4), a pair at word-shingle Jaccard 0.7 bands together with
+    p≈0.89 while random pairs rarely collide. This is dedupe's LSH
+    index-predicate idea [lib] executed as the same explode/groupBy plan as
+    dedup.minhash_lsh_pairs. Returns (block_key, record_id).
+    """
+    from sparklink.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        records.select(F.col(id_col), F.col(column)),
+        text_col=column,
+        id_col=id_col,
+        k=k,
+        shingle_n=shingle_n,
+        shingle=shingle,
+    )
+    r = k // bands
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"mh{b}:"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>")).cast("string"))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col).alias("record_id"), F.explode(band_keys).alias("block_key")).dropDuplicates(
+        ["block_key", "record_id"]
+    )
+
+
 # --------------------------------------------------------------------------
 # Skew control
 # --------------------------------------------------------------------------

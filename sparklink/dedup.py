@@ -65,16 +65,36 @@ def char_shingles(col, n: int = 5):
     )
 
 
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles — ~5x fewer rows than char shingles on
+    prose; the cheap choice when minhash feeds blocking rather than exact
+    near-dup estimation."""
+    toks = tokens(F.lower(col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32, shingle_n: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    shingle_n: int = 5,
+    shingle: str = "char",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[k]) — k minhash values per document.
 
     Plan: explode shingles -> xxhash64 -> one aggregate computing all k
     mins at once (array of min(expr)); one shuffle on doc_id, partial
-    aggregation does the heavy lifting map-side.
+    aggregation does the heavy lifting map-side. shingle='word' swaps in
+    word n-grams (cheaper, for blocking use).
     """
-    sh = docs.select(F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("s")).select(
+    mk = char_shingles if shingle == "char" else word_shingles
+    sh = docs.select(F.col(id_col), F.explode(mk(F.col(text_col), shingle_n)).alias("s")).select(
         id_col, (F.abs(F.xxhash64("s")) % F.lit(_MERSENNE)).alias("x")
     )
     mins = [

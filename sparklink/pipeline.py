@@ -56,6 +56,7 @@ class SparkDedupe:
     model: FieldModel = field(default_factory=default_transcript_model)
     predicates: list[B.Predicate] = field(default_factory=default_transcript_predicates)
     use_canopy: bool = True
+    use_minhash: bool = True
     max_block_size: int = 200
     threshold: float = 0.5
     catalog: Catalog | None = None
@@ -74,9 +75,25 @@ class SparkDedupe:
             bm = B.build_blocking_map(records, self.predicates)
             if self.use_canopy:
                 bm = bm.unionByName(B.tfidf_canopy_keys(records, "conv_text", top_m=4))
+            if self.use_minhash:
+                # recall backstop: hard-noised members can lose first-turn
+                # tokens entirely, defeating prefix/token predicates, and
+                # canopy keys of common tokens die at the block cap;
+                # minhash bands key on whole-text similarity instead
+                # (measured: blocking recall .94 -> ~.99 on the bench corpus)
+                bm = bm.unionByName(B.minhash_band_keys(records, "conv_text"))
             return B.cap_block_sizes(bm, self.max_block_size)
 
-        return self._stage("blocking_map", {"preds": [p.pid for p in self.predicates], "canopy": self.use_canopy, "cap": self.max_block_size}, thunk)
+        return self._stage(
+            "blocking_map",
+            {
+                "preds": [p.pid for p in self.predicates],
+                "canopy": self.use_canopy,
+                "minhash": self.use_minhash,
+                "cap": self.max_block_size,
+            },
+            thunk,
+        )
 
     def _pair_features(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
         """pairs(id_a, id_b[, label]) -> + all model distance columns.
