@@ -105,7 +105,7 @@ def run_er_pipeline(spark, fixture: str) -> dict:
     n_pairs = scored.count()
     t_score = time.time()
 
-    em = entity_map(scored, records, threshold=threshold)
+    em = entity_map(scored, records, threshold=threshold, refine=True)
     em = em.persist()
     n_clusters = em.select("canon_id").distinct().count()
     t_cluster = time.time()

@@ -171,6 +171,7 @@ def tfidf_canopy_keys(
     Returns (block_key, record_id).
     """
     n_docs = records.count()
+    records = records.repartition(records.sparkSession.sparkContext.defaultParallelism)
     tok = records.select(F.col(id_col).alias("record_id"), F.explode(F.array_distinct(tokens(F.col(column)))).alias("token"))
     df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
     df_counts = df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= int(max(1, max_df_frac * n_docs))))

@@ -100,8 +100,16 @@ def refine_components(
 
     cut = 1.0 - threshold
 
-    e = edges.join(comps.withColumnRenamed("record_id", "id_a"), "id_a").select(
-        "component", "id_a", "id_b", "score"
+    # edges here must be ALL scored pairs (sub-threshold included): the
+    # below-threshold scores are exactly the evidence that splits a weak
+    # chain. Keep only pairs whose endpoints landed in the same component.
+    ca = comps.select(F.col("record_id").alias("id_a"), F.col("component"))
+    cb = comps.select(F.col("record_id").alias("id_b"), F.col("component").alias("_cb"))
+    e = (
+        edges.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("component") == F.col("_cb"))
+        .select("component", "id_a", "id_b", "score")
     )
 
     def hac(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -111,7 +119,11 @@ def refine_components(
             canon = min(ids)
             return pd.DataFrame({"record_id": ids, "canon_id": canon})
         pos = {r: i for i, r in enumerate(ids)}
-        d = np.ones((n, n))
+        # un-compared pairs (blocking never produced them) carry no
+        # evidence: initialize at the cut, not at 1.0 — only explicitly
+        # low-scoring edges should pull clusters apart, otherwise sparse
+        # blocking coverage over-splits large true clusters
+        d = np.full((n, n), cut)
         np.fill_diagonal(d, 0.0)
         for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["score"]):
             i, j = pos[a], pos[b]
@@ -162,7 +174,8 @@ def entity_map(
     edges = scored_pairs.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
     comps = connected_components(edges.select("id_a", "id_b"))
     if refine:
-        refined = refine_components(edges, comps, threshold)
+        all_scored = scored_pairs.select("id_a", "id_b", "score")
+        refined = refine_components(all_scored, comps, threshold)
         comps = refined.select("record_id", F.col("canon_id").alias("component"))
     # confidence: mean incident edge score to co-members of the SAME final
     # cluster (matters under refinement, where an edge may cross clusters)

@@ -94,6 +94,9 @@ def minhash_signatures(
     word n-grams (cheaper, for blocking use).
     """
     mk = char_shingles if shingle == "char" else word_shingles
+    # byte-small doc frames explode ~200x: re-spread first or the explode
+    # and the 32 hash exprs run in the 1-2 AQE-coalesced partitions
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = docs.select(F.col(id_col), F.explode(mk(F.col(text_col), shingle_n)).alias("s")).select(
         id_col, (F.abs(F.xxhash64("s")) % F.lit(_MERSENNE)).alias("x")
     )
