@@ -141,10 +141,20 @@ def run_er_pipeline(spark, fixture: str) -> dict:
 def run_headline(spark) -> tuple[dict, float]:
     from sparklink.queries import QUERIES
 
+    # bench measures the production (xxhash64, JVM-side) dedup path; the
+    # catalog entry of the same operator runs hash_mode='portable' so the
+    # DuckDB oracle can verify it — same operator code, swapped leaf hash
+    def _minhash_prod(spark_, sf_dir):
+        from sparklink import dedup
+
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.minhash_lsh_pairs(docs, k=32, bands=8)
+
+    overrides = {"dedup_minhash_lsh": _minhash_prod}
     per_query = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = overrides.get(name, QUERIES[name])
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         dt = time.time() - t0

@@ -60,15 +60,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 5) -> np.ndarray:
     return h / np.linalg.norm(h, axis=1, keepdims=True)
 
 
-def _bucket_expr(unit_col, planes: np.ndarray):
+def _bucket_expr(unit_col, planes):
+    # sign(dot) is invariant to plane normalization, so raw data-derived
+    # planes work; dot rounded to 6dp before the sign test so an oracle
+    # engine computing the same double arithmetic lands on the same bucket
     bits = [
-        F.when(_dot(unit_col, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.round(_dot(unit_col, F.array(*[F.lit(float(x)) for x in p])), 6) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
         for i, p in enumerate(planes)
     ]
     b = bits[0]
     for x in bits[1:]:
         b = b + x
     return b
+
+
+def data_planes(corpus: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Deterministic data-derived hyperplanes: the raw vectors of fixed row
+    ids (ordered by id). Engine-portable — a SQL oracle reads the same rows;
+    float32 parquet values lift exactly into double literals."""
+    rows = corpus.filter(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    by_id = {r[0]: list(r[1]) for r in rows}
+    return [by_id[i] for i in sorted(by_id)]
+
+
+def unit_centroids(corpus: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic data-derived centroids: the engine-computed unit
+    vectors of fixed row ids. Values come back from the same normalization
+    expression the scoring plan uses, so literal round-trip is exact."""
+    rows = with_unit_vectors(corpus, vec_col).filter(F.col(id_col).isin(ids)).select(id_col, "unit").collect()
+    by_id = {r[0]: np.array(r[1], dtype=np.float64) for r in rows}
+    return np.stack([by_id[i] for i in sorted(by_id)])
 
 
 def lsh_topk(
@@ -81,10 +104,13 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 5,
+    planes: list | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: equi-join on bucket id instead of cross join.
-    Recall < 1 by construction; measure vs brute_force_topk."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    Recall < 1 by construction; measure vs brute_force_topk. ``planes``
+    overrides the seeded hyperplanes (e.g. data_planes for oracle parity)."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes, seed)
     c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
     c = c.withColumn("bucket", _bucket_expr(F.col("cu"), planes))
     q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
@@ -99,31 +125,42 @@ def lsh_topk(
 def train_ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, iters: int = 3, vec_col: str = "embedding", seed: int = 11
 ) -> np.ndarray:
-    """Lloyd iterations as DataFrame jobs (assign = broadcast argmin join,
-    update = groupBy mean). Deterministic init from seeded sample."""
-    dim = len(corpus.select(vec_col).first()[0])
+    """Lloyd iterations as DataFrame jobs: assign = argmin over broadcast
+    centroid literals (JVM exprs), update = posexplode + groupBy(cell, pos)
+    with map-side partial aggregation — ONE driver round-trip of
+    n_cells x dim tiny rows per iteration, independent of the embedding
+    dimension (the previous per-dimension aggregate-expression plan put
+    dim separate agg expressions in the plan and stalled the driver at
+    dim >= 256). Total driver actions = 1 (init) + iters.
+    Deterministic init from a seeded shuffle of the first 4*n_cells rows.
+    """
     init = with_unit_vectors(corpus, vec_col, "u").select("u").limit(n_cells * 4).toPandas()
     rng = np.random.default_rng(seed)
-    cents = np.stack(init["u"].to_numpy()[rng.permutation(len(init))[:n_cells]])
+    cents = np.stack(init["u"].to_numpy()[rng.permutation(len(init))[:n_cells]]).astype(np.float64)
     c = with_unit_vectors(corpus, vec_col).select(F.col("unit"))
     for _ in range(iters):
-        assigned = c.withColumn("cell", _argmin_cell(F.col("unit"), cents)).groupBy("cell")
-        sums = assigned.agg(
-            *[F.sum(F.element_at("unit", i + 1)).alias(f"s{i}") for i in range(dim)], F.count("*").alias("n")
-        ).toPandas()
-        for _, row in sums.iterrows():
-            v = np.array([row[f"s{i}"] for i in range(dim)]) / max(row["n"], 1)
+        assigned = c.withColumn("cell", _argmin_cell(F.col("unit"), cents))
+        stats = (
+            assigned.select("cell", F.posexplode("unit").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("cnt"))
+            .toPandas()
+        )
+        for cell, grp in stats.groupby("cell"):
+            v = grp.sort_values("pos")["s"].to_numpy(dtype=np.float64) / max(int(grp["cnt"].iloc[0]), 1)
             nrm = np.linalg.norm(v)
             if nrm > 0:
-                cents[int(row["cell"])] = v / nrm
+                cents[int(cell)] = v / nrm
     return cents
 
 
 def _argmin_cell(unit_col, cents: np.ndarray):
-    best_i, best_d = F.lit(0), F.lit(-2.0)
+    # dot rounded to 6dp before argmax; strict > keeps the lowest index on
+    # rounded ties — both deterministic and replicable by a SQL oracle
+    # (row_number ORDER BY d DESC, cell ASC)
     expr = None
     for i, cvec in enumerate(cents):
-        d = _dot(unit_col, F.array(*[F.lit(float(x)) for x in cvec]))
+        d = F.round(_dot(unit_col, F.array(*[F.lit(float(x)) for x in cvec])), 6)
         if expr is None:
             expr = F.struct(d.alias("d"), F.lit(i).alias("i"))
         else:
@@ -148,13 +185,26 @@ def ivf_topk(
     c = c.withColumn("cell", _argmin_cell(F.col("cu"), cents))
     q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
     cell_rank = [
-        F.struct(_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cvec])).alias("d"), F.lit(i).alias("i"))
+        F.struct(
+            F.round(_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cvec])), 6).alias("d"),
+            F.lit(i).alias("i"),
+        )
         for i, cvec in enumerate(cents)
     ]
     q = q.withColumn(
         "cells",
         F.slice(
-            F.transform(F.array_sort(F.array(*cell_rank), lambda a, b: F.when(a["d"] > b["d"], -1).when(a["d"] < b["d"], 1).otherwise(0)), lambda s: s["i"]),
+            F.transform(
+                F.array_sort(
+                    F.array(*cell_rank),
+                    # probe order: rounded dot desc, cell index asc (stable
+                    # deterministic tiebreak, matches the oracle's ORDER BY)
+                    lambda a, b: F.when(a["d"] > b["d"], -1)
+                    .when(a["d"] < b["d"], 1)
+                    .otherwise(F.when(a["i"] < b["i"], -1).when(a["i"] > b["i"], 1).otherwise(0)),
+                ),
+                lambda s: s["i"],
+            ),
             1,
             n_probe,
         ),

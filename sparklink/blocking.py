@@ -149,6 +149,86 @@ def build_blocking_map(records: DataFrame, predicates: list[Predicate], id_col: 
 
 
 # --------------------------------------------------------------------------
+# Shared token-stats frame: canopy keys, minhash band keys, and the
+# scorer's tf-idf vectors all derive from ONE token explode + aggregation
+# (r1 bench: three separate explode jobs over the same conv_text were 56%
+# of pipeline wall time; this collapses them into one shared shuffle)
+# --------------------------------------------------------------------------
+
+
+def token_stats(records: DataFrame, column: str, id_col: str = "conv_id") -> tuple[DataFrame, DataFrame]:
+    """One explode over ``column`` -> (tf, dfreq):
+    tf(record_id, token, tf) and dfreq(token, df). Persist tf at the call
+    site when more than one consumer derives from it."""
+    sc = records.sparkSession.sparkContext
+    recs = records.repartition(sc.defaultParallelism)
+    tf = (
+        recs.select(F.col(id_col).alias("record_id"), F.explode(tokens(F.col(column))).alias("token"))
+        .groupBy("record_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return tf, dfreq
+
+
+def tfidf_canopy_keys_from_stats(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    column_label: str,
+    top_m: int = 3,
+    min_df: int = 1,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """Canopy keys from a shared token-stats frame (no new explode)."""
+    d = dfreq.filter((F.col("df") >= min_df) & (F.col("df") <= int(max(1, max_df_frac * n_docs))))
+    scored = tf.join(F.broadcast(d), "token").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1.0))
+    )
+    w = Window.partitionBy("record_id").orderBy(F.desc("w"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_m)
+        .select(
+            F.concat(F.lit(f"canopy({column_label})"), F.lit(":"), F.col("token")).alias("block_key"), "record_id"
+        )
+    )
+
+
+def minhash_band_keys_from_stats(tf: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
+    """MinHash band keys over the TOKEN SET from a shared token-stats frame.
+
+    1-gram (token-set) minhash instead of the word-shingle variant: for the
+    recall-backstop role this is strictly cheaper (reuses the shared
+    explode) and collides MORE readily at equal (k, bands) — shingling
+    shrinks Jaccard (shingle-J ~ token-J^n), so token-set minhash bands
+    catch noisy true pairs that word-3-gram bands miss. Precision loss is
+    absorbed by cap_block_sizes + pairwise scoring, same as every other
+    predicate. Returns (block_key, record_id).
+    """
+    from sparklink.dedup import _MERSENNE, _perm_params
+
+    r = k // bands
+    sh = tf.select("record_id", (F.abs(F.xxhash64("token")) % F.lit(_MERSENNE)).alias("x"))
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    sigs = sh.groupBy("record_id").agg(*mins).select(
+        "record_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"mh{b}:"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>")).cast("string"))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col("record_id"), F.explode(band_keys).alias("block_key")).dropDuplicates(
+        ["block_key", "record_id"]
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF canopy index predicate (two-pass job; SURVEY §2.3 index predicates)
 # --------------------------------------------------------------------------
 

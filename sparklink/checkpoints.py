@@ -20,7 +20,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _fingerprint(payload: dict) -> str:
@@ -28,12 +28,33 @@ def _fingerprint(payload: dict) -> str:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, iceberg_catalog: str | None = None):
+        """``iceberg_catalog``: name of a configured Iceberg catalog
+        (spark.sql.catalog.<name> = org.apache.iceberg...). When set — or
+        auto-detected from the session conf — stage tables write through
+        ``df.writeTo(<catalog>.sparklink.<stage>).createOrReplace()`` and
+        load via the same identifier, giving snapshot-isolated stages; the
+        jar-less sandbox always exercises the Parquet-directory branch
+        (identical API and lineage/metrics sidecars either way)."""
         self.spark = spark
         self.warehouse = warehouse
+        self.iceberg_catalog = iceberg_catalog or self._detect_iceberg()
         os.makedirs(warehouse, exist_ok=True)
         self._lineage_path = os.path.join(warehouse, "_lineage.jsonl")
         self._metrics_path = os.path.join(warehouse, "_metrics.jsonl")
+
+    def _detect_iceberg(self) -> str | None:
+        try:
+            confs = self.spark.sparkContext.getConf().getAll()
+        except Exception:
+            return None
+        for k, v in confs:
+            if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in str(v).lower():
+                return k.rsplit(".", 1)[1]
+        return None
+
+    def _table_ident(self, name: str) -> str:
+        return f"{self.iceberg_catalog}.sparklink.{name}"
 
     # -- lineage / metrics ---------------------------------------------------
     def _lineage(self) -> list[dict]:
@@ -65,6 +86,8 @@ class Catalog:
         return done.get(name) == fp and os.path.exists(self.table_path(name))
 
     def load(self, name: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.read.table(self._table_ident(name))
         return self.spark.read.parquet(self.table_path(name))
 
     def stage(self, name: str, params: dict, compute, partition_by: list[str] | None = None) -> DataFrame:
@@ -74,12 +97,21 @@ class Catalog:
             return self.load(name)
         t0 = time.time()
         df = compute()
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
         path = self.table_path(name)
-        w.parquet(path)
-        out = self.spark.read.parquet(path)
+        if self.iceberg_catalog:
+            w = df.writeTo(self._table_ident(name))
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            # keep the warehouse marker so has_stage's existence check and
+            # the file-metrics walk stay uniform across branches
+            os.makedirs(path, exist_ok=True)
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+        out = self.load(name)
         n = out.count()
         elapsed = time.time() - t0
         # per-partition file metrics (lineage at file granularity)

@@ -28,9 +28,18 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None) -> DataFrame:
     """edges(id_a, id_b) -> (record_id, component) with component = min id
-    reachable. Iterative DataFrame joins; localCheckpoint every round
-    truncates lineage (SURVEY §7 hard part (b))."""
+    reachable. Iterative DataFrame joins; every round truncates lineage
+    (SURVEY §7 hard part (b)). With ``checkpoint_dir`` set, rounds use
+    reliable ``df.checkpoint()`` (replicated storage — survives executor
+    loss on a real cluster); default is ``localCheckpoint`` (fastest, but
+    an executor loss mid-iteration kills the job)."""
     spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -42,8 +51,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
         .agg(F.min("dst").alias("min_nbr"))
         .select(F.col("src").alias("id"), F.least(F.col("min_nbr"), F.col("src")).alias("label"))
     )
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = ckpt(labels)
+    sym = ckpt(sym)
     for _ in range(max_iter):
         # propagate: candidate label for v = min over neighbors u of label[u]
         nbr = (
@@ -56,7 +65,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
             labels.join(nbr, "id", "left")
             .select("id", F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -71,7 +80,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
             .join(new_labels.select(F.col("id").alias("label"), F.col("label").alias("label2")).alias("b"), "label", "left")
             .select("id", F.least(F.col("label"), F.coalesce(F.col("label2"), F.col("label"))).alias("label"))
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = ckpt(jumped)
         if changed == 0:
             break
     return labels.select(F.col("id").alias("record_id"), F.col("label").alias("component"))
@@ -125,36 +134,76 @@ def refine_components(
         # blocking coverage over-splits large true clusters
         d = np.full((n, n), cut)
         np.fill_diagonal(d, 0.0)
-        for a, b, s in zip(pdf["id_a"], pdf["id_b"], pdf["score"]):
-            i, j = pos[a], pos[b]
-            d[i, j] = d[j, i] = 1.0 - s
-        # average-linkage agglomeration with stored cluster sizes
-        active = list(range(n))
-        members: dict[int, list[int]] = {i: [i] for i in range(n)}
-        while len(active) > 1:
-            best = (None, None, np.inf)
-            for ii in range(len(active)):
-                for jj in range(ii + 1, len(active)):
-                    a_, b_ = active[ii], active[jj]
-                    if d[a_, b_] < best[2]:
-                        best = (a_, b_, d[a_, b_])
-            a_, b_, dist = best
-            if dist > cut:
-                break
-            na, nb = len(members[a_]), len(members[b_])
-            for c in active:
-                if c not in (a_, b_):
-                    d[a_, c] = d[c, a_] = (d[a_, c] * na + d[b_, c] * nb) / (na + nb)
-            members[a_] += members.pop(b_)
-            active.remove(b_)
-        rows = []
-        for root in active:
-            mids = [ids[k] for k in members[root]]
-            canon = min(mids)
-            rows += [(m, canon) for m in mids]
-        return pd.DataFrame(rows, columns=["record_id", "canon_id"])
+        ia = pdf["id_a"].map(pos).to_numpy()
+        ib = pdf["id_b"].map(pos).to_numpy()
+        sv = 1.0 - pdf["score"].to_numpy(dtype=np.float64)
+        d[ia, ib] = sv
+        d[ib, ia] = sv
+        labels = _avg_linkage_labels(d, cut)
+        canon_of = {}
+        for k, lab in enumerate(labels):
+            canon_of[lab] = min(canon_of.get(lab, ids[k]), ids[k])
+        return pd.DataFrame({"record_id": ids, "canon_id": [canon_of[lab] for lab in labels]})
 
     return e.groupBy("component").applyInPandas(hac, "record_id string, canon_id string")
+
+
+def _avg_linkage_labels(d, cut: float):
+    """Average-linkage HAC labels after cutting the dendrogram at ``cut``.
+
+    Nearest-neighbor-chain algorithm (Müllner 2011): O(n^2) total with
+    numpy row operations — the per-merge work is one vectorized row scan +
+    one Lance-Williams row update, never an interpreted double loop.
+    Average linkage is reducible, so NN-chain produces the exact greedy
+    dendrogram; monotonicity means clusters-at-height-cut are simply the
+    union-find closure of merges with height <= cut.
+    """
+    import numpy as np
+
+    n = d.shape[0]
+    dm = d.astype(np.float64).copy()
+    np.fill_diagonal(dm, np.inf)
+    size = np.ones(n)
+    alive = np.ones(n, dtype=bool)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    chain: list[int] = []
+    merges_left = n - 1
+    while merges_left > 0:
+        if not chain:
+            chain.append(int(np.flatnonzero(alive)[0]))
+        while True:
+            a = chain[-1]
+            row = dm[a]
+            b = int(np.argmin(row))
+            # prefer the previous chain element on ties (termination guard)
+            if len(chain) >= 2 and row[chain[-2]] == row[b]:
+                b = chain[-2]
+            if len(chain) >= 2 and b == chain[-2]:
+                h = dm[a, b]
+                chain.pop()
+                chain.pop()
+                na, nb = size[a], size[b]
+                merged = (dm[a] * na + dm[b] * nb) / (na + nb)
+                dm[a] = merged
+                dm[:, a] = merged
+                dm[a, a] = np.inf
+                dm[b, :] = np.inf
+                dm[:, b] = np.inf
+                alive[b] = False
+                size[a] = na + nb
+                if h <= cut:
+                    parent[find(b)] = find(a)
+                merges_left -= 1
+                break
+            chain.append(b)
+    return np.array([find(i) for i in range(n)])
 
 
 def entity_map(
@@ -163,6 +212,7 @@ def entity_map(
     threshold: float = 0.5,
     id_col: str = "conv_id",
     refine: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """scored pairs + full record set -> (record_id, canon_id, cluster_score).
 
@@ -172,7 +222,7 @@ def entity_map(
     entity_map entirely; we keep the row and null the score).
     """
     edges = scored_pairs.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
-    comps = connected_components(edges.select("id_a", "id_b"))
+    comps = connected_components(edges.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir)
     if refine:
         all_scored = scored_pairs.select("id_a", "id_b", "score")
         refined = refine_components(all_scored, comps, threshold)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from sparklink.portable import poly_hash, poly_hash_wide
 from sparklink.preprocess import tokens
 
 # --------------------------------------------------------------------------
@@ -57,9 +58,19 @@ def _perm_params(k: int, seed: int = 17) -> list[tuple[int, int]]:
     return params
 
 
-def char_shingles(col, n: int = 5):
-    """Distinct character n-gram shingles of the normalized text."""
-    c = F.lower(F.regexp_replace(col, r"\s+", " "))
+def _norm_ws(col):
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def char_shingles(col, n: int = 5, pre_normalized: bool = False):
+    """Distinct character n-gram shingles of the normalized text.
+
+    IMPORTANT for callers: pass a *materialized column* (and set
+    pre_normalized=True after projecting _norm_ws yourself) when the input
+    expression is non-trivial — expressions inlined into the per-element
+    lambda re-evaluate once PER SHINGLE (the normalization regexp would go
+    quadratic in document length)."""
+    c = col if pre_normalized else _norm_ws(col)
     return F.when(F.length(c) < n, F.array(c)).otherwise(
         F.array_distinct(F.transform(F.sequence(F.lit(1), F.length(c) - (n - 1)), lambda i: c.substr(i, F.lit(n))))
     )
@@ -68,8 +79,12 @@ def char_shingles(col, n: int = 5):
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles — ~5x fewer rows than char shingles on
     prose; the cheap choice when minhash feeds blocking rather than exact
-    near-dup estimation."""
-    toks = tokens(F.lower(col))
+    near-dup estimation. Prefer word_shingles_from_tokens over a
+    materialized token column (see char_shingles note)."""
+    return word_shingles_from_tokens(tokens(F.lower(col)), n)
+
+
+def word_shingles_from_tokens(toks, n: int = 3):
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -85,21 +100,30 @@ def minhash_signatures(
     k: int = 32,
     shingle_n: int = 5,
     shingle: str = "char",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[k]) — k minhash values per document.
 
     Plan: explode shingles -> xxhash64 -> one aggregate computing all k
     mins at once (array of min(expr)); one shuffle on doc_id, partial
     aggregation does the heavy lifting map-side. shingle='word' swaps in
-    word n-grams (cheaper, for blocking use).
+    word n-grams (cheaper, for blocking use). hash_mode='portable' swaps
+    the shingle hash for the engine-portable polynomial hash (slower;
+    used by the oracle-verified catalog entry — see sparklink.portable).
     """
-    mk = char_shingles if shingle == "char" else word_shingles
     # byte-small doc frames explode ~200x: re-spread first or the explode
     # and the 32 hash exprs run in the 1-2 AQE-coalesced partitions
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sh = docs.select(F.col(id_col), F.explode(mk(F.col(text_col), shingle_n)).alias("s")).select(
-        id_col, (F.abs(F.xxhash64("s")) % F.lit(_MERSENNE)).alias("x")
-    )
+    # materialize the normalized text / token array BEFORE the shingle
+    # lambda so the normalization runs once per row, not once per shingle
+    if shingle == "char":
+        base = docs.select(F.col(id_col), _norm_ws(F.col(text_col)).alias("__t"))
+        sh_expr = char_shingles(F.col("__t"), shingle_n, pre_normalized=True)
+    else:
+        base = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+        sh_expr = word_shingles_from_tokens(F.col("__t"), shingle_n)
+    hx = poly_hash(F.col("s")) if hash_mode == "portable" else F.abs(F.xxhash64("s")) % F.lit(_MERSENNE)
+    sh = base.select(F.col(id_col), F.explode(sh_expr).alias("s")).select(id_col, hx.alias("x"))
     mins = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(k))
@@ -116,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     max_bucket: int = 500,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over minhash sigs.
 
@@ -123,15 +148,25 @@ def minhash_lsh_pairs(
     bucket with id_a < id_b; oversized buckets dropped (skew guard, same
     rationale as blocking.cap_block_sizes). Returns (id_a, id_b,
     est_jaccard) where est = fraction of agreeing minhashes.
+    hash_mode='portable' additionally keys bands by the literal signature
+    values (engine-portable; the DuckDB oracle reproduces it exactly).
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n)
+    sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n, hash_mode=hash_mode)
     r = k // bands
-    band_keys = F.array(
-        *[
-            F.concat(F.lit(f"b{b}:"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>")).cast("string"))
-            for b in range(bands)
-        ]
-    )
+    if hash_mode == "portable":
+        band_keys = F.array(
+            *[
+                F.concat(F.lit(f"b{b}:"), F.array_join(F.slice("sig", b * r + 1, r).cast("array<string>"), "_"))
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_keys = F.array(
+            *[
+                F.concat(F.lit(f"b{b}:"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>")).cast("string"))
+                for b in range(bands)
+            ]
+        )
     bm = sigs.select(F.col(id_col).alias("record_id"), "sig", F.explode(band_keys).alias("block_key"))
     sizes = bm.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
     bm = bm.join(F.broadcast(sizes.select("block_key")), "block_key", "left_anti")
@@ -154,35 +189,48 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_mode: str = "xxhash") -> DataFrame:
     """(doc_id, simhash bigint): 64-bit simhash over token xxhash64 values.
 
     Pure bit-arithmetic plan: explode tokens -> per-bit +/-1 contributions
     via shiftright/bitwise-and -> sum per doc -> sign bits recombined.
     One shuffle (groupBy doc), map-side partial agg.
+    hash_mode='portable' swaps the token hash for the 62-bit engine-portable
+    polynomial hash and emits a 60-bit simhash (non-negative bigint) so the
+    DuckDB oracle reproduces it bit-for-bit.
     """
+    width = 60 if hash_mode == "portable" else 64
     tok = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
-    h = tok.select(id_col, F.xxhash64("t").alias("h"))
+    hx = poly_hash_wide(F.col("t")) if hash_mode == "portable" else F.xxhash64("t")
+    h = tok.select(id_col, hx.alias("h"))
     contribs = [
-        F.sum(F.when((F.shiftright(F.col("h"), i) % 2) != 0, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)
+        F.sum(F.when((F.shiftright(F.col("h"), i) % 2) != 0, 1).otherwise(-1)).alias(f"b{i}") for i in range(width)
     ]
     agg = h.groupBy(id_col).agg(*contribs)
     sim = None
-    for i in range(64):
+    for i in range(width):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = bit * F.lit(1 << i).cast("bigint") if i < 63 else F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
     """Candidate near-dups: block on 4 x 16-bit simhash chunks (a pair within
     hamming distance 3 must agree on >=1 of 4 chunks — pigeonhole), then
-    exact hamming filter via bit_count(xor)."""
-    s = simhash(docs, text_col, id_col)
+    exact hamming filter via bit_count(xor). Portable mode: 4 x 15-bit
+    chunks of the 60-bit portable simhash."""
+    cw = 15 if hash_mode == "portable" else 16
+    s = simhash(docs, text_col, id_col, hash_mode=hash_mode)
     chunks = F.array(
         *[
-            F.concat(F.lit(f"ch{c}:"), ((F.shiftrightunsigned(F.col("simhash"), c * 16)) % (1 << 16)).cast("string"))
+            F.concat(F.lit(f"ch{c}:"), ((F.shiftrightunsigned(F.col("simhash"), c * cw)) % (1 << cw)).cast("string"))
             for c in range(4)
         ]
     )
@@ -215,15 +263,14 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard >= threshold for pairs sharing a first-token
     block (cheap demo blocking; compose with minhash_lsh_pairs for recall).
     Returns (id_a, id_b, jaccard)."""
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens(F.lower(F.col(text_col)))) - (shingle_n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(tokens(F.lower(F.col(text_col))), i, shingle_n), " "),
-        )
+    # materialize the token array once per row (see char_shingles note on
+    # lambda-inlined expressions re-evaluating per element)
+    t = docs.select(F.col(id_col).alias("record_id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+    d = t.select(
+        "record_id",
+        word_shingles_from_tokens(F.col("toks"), shingle_n).alias("grams"),
+        F.array_join(F.slice("toks", 1, block_tokens), " ").alias("block_key"),
     )
-    d = docs.select(F.col(id_col).alias("record_id"), grams.alias("grams"),
-                    F.slice(tokens(F.lower(F.col(text_col))), 1, block_tokens).alias("bk"))
-    d = d.withColumn("block_key", F.array_join("bk", " ")).drop("bk")
     l = d.select("block_key", F.col("record_id").alias("id_a"), F.col("grams").alias("g_a"))
     r = d.select("block_key", F.col("record_id").alias("id_b"), F.col("grams").alias("g_b"))
     pairs = l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])

@@ -356,9 +356,20 @@ def tfidf_token_arrays(
     n_docs = records.count()
     tok = records.select(F.col(id_col).alias("record_id"), F.explode(tokens(F.col(column))).alias("token"))
     tf = tok.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= int(max(1, max_df_frac * n_docs))
-    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return tfidf_token_arrays_from_stats(tf, dfreq, n_docs, top_m=top_m, max_df_frac=max_df_frac)
+
+
+def tfidf_token_arrays_from_stats(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    top_m: int = 48,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """tfidf_token_arrays from a shared token-stats frame (see
+    blocking.token_stats) — no new explode over the corpus."""
+    dfreq = dfreq.filter(F.col("df") <= int(max(1, max_df_frac * n_docs)))
     w = tf.join(F.broadcast(dfreq), "token").withColumn(
         "w", F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
     )
@@ -384,20 +395,37 @@ def tfidf_token_arrays(
 
 
 def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np.ndarray:
-    """Batch sparse dot of aligned (sorted-hash, weight) array pairs."""
-    out = np.zeros(len(ha))
-    hav, wav, hbv, wbv = ha.values, wa.values, hb.values, wb.values
-    for i in range(len(out)):
-        a, b = hav[i], hbv[i]
-        if a is None or b is None or len(a) == 0 or len(b) == 0:
-            continue
-        a = np.asarray(a, dtype=np.int64)
-        b = np.asarray(b, dtype=np.int64)
-        common, ia, ib = np.intersect1d(a, b, assume_unique=True, return_indices=True)
-        if len(common):
-            out[i] = float(
-                np.dot(np.asarray(wav[i], dtype=np.float64)[ia], np.asarray(wbv[i], dtype=np.float64)[ib])
-            )
+    """Batch sparse dot of aligned (sorted-hash, weight) array pairs.
+
+    Whole-batch vectorized: every row's arrays are flattened into ONE
+    concatenated key array with the row index packed into the high bits
+    (keys are 31-bit non-negative hashes, rows << 2^31 count per batch, so
+    row*2^32 + hash stays unique and sorted), then a single intersect1d
+    merge + scatter-add produces all dots — no per-row Python loop in the
+    scoring hot path. Hash collisions across distinct tokens are treated
+    as matches (same 32-bit-noise tradeoff as tfidf_token_arrays).
+    """
+    n = len(ha)
+    out = np.zeros(n)
+    if n == 0:
+        return out
+
+    def flat(vals, dtype):
+        parts = [np.asarray(x if x is not None else (), dtype=dtype) for x in vals]
+        lens = np.array([len(p) for p in parts], dtype=np.int64)
+        return (np.concatenate(parts) if parts else np.array((), dtype=dtype)), lens
+
+    A, la = flat(ha.values, np.int64)
+    B, lb = flat(hb.values, np.int64)
+    if len(A) == 0 or len(B) == 0:
+        return out
+    WA, _ = flat(wa.values, np.float64)
+    WB, _ = flat(wb.values, np.float64)
+    KA = np.repeat(np.arange(n, dtype=np.int64), la) * (1 << 32) + A
+    KB = np.repeat(np.arange(n, dtype=np.int64), lb) * (1 << 32) + B
+    common, ia, ib = np.intersect1d(KA, KB, assume_unique=True, return_indices=True)
+    if len(common):
+        np.add.at(out, common >> 32, WA[ia] * WB[ib])
     return out
 
 

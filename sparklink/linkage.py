@@ -54,12 +54,12 @@ class SparkRecordLink:
         bm_l = B.cap_block_sizes(B.build_blocking_map(left, self.predicates), self.max_block_size)
         bm_r = B.cap_block_sizes(B.build_blocking_map(right, self.predicates), self.max_block_size)
         cand = P.candidate_pairs_cross(bm_l, bm_r)
-        # hydrate sides from their own records (ids may collide across
-        # sources — the synthetic-id trick of record_linkage_example.py:54
-        # is unnecessary because sides stay separate frames)
+        # hydrate each side from its own source (ids may collide across
+        # sources; _pair_features_two applies internal per-source prefixes,
+        # the synthetic-id trick of record_linkage_example.py:54-60, so a
+        # shared id hydrates as left-row vs right-row — never contaminated)
         dd = self._dd()
-        both = left.unionByName(right)
-        withd = dd._pair_features(both, cand)
+        withd = dd._pair_features_two(left, right, cand)
         return dd.model.score(withd).select("id_a", "id_b", *dd.model.feature_cols(), "score")
 
     @staticmethod
@@ -96,15 +96,32 @@ class SparkGazetteer:
     _canonical: DataFrame | None = None
     _index: DataFrame | None = None
 
-    def index(self, canonical_records: DataFrame) -> None:
+    def index(self, canonical_records: DataFrame, catalog=None) -> None:
         """≙ gazetteer.index(canonical) — build + persist the blocking index
-        (gazetteer_example/gazetteer_example.py:157). On a real deployment
-        this frame is an Iceberg table (indexed_records,
-        gazetteer_postgres_example.py:58-76)."""
-        self._canonical = canonical_records
-        self._index = B.cap_block_sizes(
+        (gazetteer_example/gazetteer_example.py:157). With ``catalog``
+        (checkpoints.Catalog) the index AND the canonical records are
+        written as catalog tables — the durable ``indexed_records`` store
+        of gazetteer_postgres_example.py:58-76 — so a new process calls
+        load_index() and searches without re-blocking."""
+        idx_thunk = lambda: B.cap_block_sizes(  # noqa: E731
             B.build_blocking_map(canonical_records, self.predicates), self.max_block_size
-        ).persist()
+        )
+        if catalog is not None:
+            params = {"preds": [p.pid for p in self.predicates], "cap": self.max_block_size}
+            self._canonical = catalog.stage("gazetteer_canonical", params, lambda: canonical_records)
+            idx = catalog.stage("gazetteer_index", params, idx_thunk)
+        else:
+            self._canonical = canonical_records
+            idx = idx_thunk()
+        self._index = idx.persist()
+        self._index.count()
+
+    def load_index(self, catalog) -> None:
+        """Resume a previously indexed gazetteer from the catalog (new
+        process, no re-blocking — the incremental-matching workflow the
+        reference runs against its indexed_records table)."""
+        self._canonical = catalog.load("gazetteer_canonical")
+        self._index = catalog.load("gazetteer_index").persist()
         self._index.count()
 
     def unindex(self) -> None:
@@ -122,8 +139,7 @@ class SparkGazetteer:
             .dropDuplicates(["id_a", "id_b"])
         )
         dd = SparkDedupe(model=self.model, predicates=self.predicates, threshold=self.threshold)
-        both = messy_records.unionByName(self._canonical)
-        withd = dd._pair_features(both, cand)
+        withd = dd._pair_features_two(messy_records, self._canonical, cand)
         return dd.model.score(withd).select("id_a", "id_b", "score")
 
     def search(self, messy_records: DataFrame, n_matches: int = 2) -> DataFrame:
@@ -159,3 +175,24 @@ class SparkGazetteer:
         updated = messy_records.join(m, "conv_id", "left")
         unmatched = messy_records.join(m.select("conv_id"), "conv_id", "left_anti")
         return updated, unmatched
+
+    @staticmethod
+    def merge_matches_sql(target_table: str, updates_view: str = "gaz_matches") -> str:
+        """The MERGE statement equivalent of the reference's UPDATE
+        write-back (gazetteer_postgres_example.py:313-326), executable
+        against any MERGE-capable catalog table (Iceberg/Delta)."""
+        return (
+            f"MERGE INTO {target_table} t USING {updates_view} u ON t.conv_id = u.conv_id "
+            "WHEN MATCHED THEN UPDATE SET t.canonical_id = u.canonical_id, t.link_score = u.link_score"
+        )
+
+    def merge_matches(self, target_table: str, matches: DataFrame) -> None:
+        """Execute the MERGE write-back against an Iceberg/Delta table.
+        Requires a MERGE-capable catalog (not available in the jar-less
+        sandbox — apply_matches returns the equivalent join frames there;
+        the statement itself is unit-tested for shape)."""
+        m = matches.select(
+            F.col("messy_id").alias("conv_id"), "canonical_id", F.col("score").alias("link_score")
+        )
+        m.createOrReplaceTempView("gaz_matches")
+        m.sparkSession.sql(self.merge_matches_sql(target_table))

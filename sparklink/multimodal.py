@@ -48,6 +48,9 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("payload_sha", StringType()),
         StructField("feature", ArrayType(FloatType())),
+        # integer per-chunk byte sums: the engine-portable face of `feature`
+        # (exact arithmetic, no float parity risk) used by the oracle check
+        StructField("chunk_sums", ArrayType(LongType())),
     ]
 )
 
@@ -65,19 +68,26 @@ def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_stub(payload: bytes, kind: str, dim: int = 8, strict: bool = False) -> np.ndarray:
+def decode_stub(payload: bytes, kind: str, dim: int = 8, strict: bool = False) -> tuple[np.ndarray, list[int]]:
     """STUB for the real decode/feature-extract step (image decode, audio
-    resample, video frame-sample). Deterministic fake: feature = normalized
-    byte histogram moments keyed on content. strict=True raises
-    NotImplementedError (the posture a production deploy without codecs
-    should take)."""
+    resample, video frame-sample). Deterministic fake keyed on content:
+    chunk j covers bytes [floor(j*n/dim), floor((j+1)*n/dim)) — floor
+    boundaries chosen so a SQL oracle replicates them exactly. Returns
+    (normalized chunk means float32[dim], integer chunk byte-sums[dim]).
+    strict=True raises NotImplementedError (the posture a production
+    deploy without codecs should take)."""
     if strict:
         raise NotImplementedError("media decoding requires codec libraries not present in this environment")
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    if len(arr) == 0:
-        return np.zeros(dim, dtype=np.float32)
-    chunks = np.array_split(arr, dim)
-    return np.array([float(c.mean()) / 255.0 for c in chunks], dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    sums, means = [], []
+    for j in range(dim):
+        lo, hi = j * n // dim, (j + 1) * n // dim
+        chunk = arr[lo:hi]
+        s = int(chunk.sum()) if hi > lo else 0
+        sums.append(s)
+        means.append(float(s) / (hi - lo) / 255.0 if hi > lo else 0.0)
+    return np.array(means, dtype=np.float32), sums
 
 
 def extract_features(media: DataFrame, dim: int = 8, batch_hint: int = 256) -> DataFrame:
@@ -92,18 +102,40 @@ def extract_features(media: DataFrame, dim: int = 8, batch_hint: int = 256) -> D
         import hashlib
 
         for pdf in batches:
-            feats = [decode_stub(p, k, dim=dim).tolist() for p, k in zip(pdf["payload"], pdf["kind"])]
+            decoded = [decode_stub(p, k, dim=dim) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "payload_sha": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
-                    "feature": feats,
+                    "feature": [f.tolist() for f, _ in decoded],
+                    "chunk_sums": [s for _, s in decoded],
                 }
             )
 
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table derived from a parquet corpus: payload =
+    UTF-8 bytes of the text (an oracle can recompute every byte), kind
+    cycles image/audio/video. This is the oracle-checkable twin of
+    synth_media (whose payloads are driver-side RNG bytes)."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image").when(F.col(id_col) % 3 == 1, "audio").otherwise("video")
+    )
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(kind, F.lit("/fake")).alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def media_summary(media: DataFrame) -> DataFrame:

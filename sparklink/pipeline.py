@@ -24,9 +24,34 @@ from sparklink import blocking as B
 from sparklink import distances as D
 from sparklink import pairs as P
 from sparklink.canonicalize import canonicalize
-from sparklink.checkpoints import Catalog
+from sparklink.checkpoints import Catalog, _fingerprint
 from sparklink.cluster import entity_map
 from sparklink.score import FieldModel, Variable
+
+
+def _input_fingerprint(df: DataFrame) -> str:
+    """Identity of a source DataFrame for stage invalidation: logical-plan
+    semantic hash + source file list (+ sizes for local files). A rerun
+    pointed at different --transcripts (or at rewritten parquet under the
+    same path, locally) therefore invalidates every downstream stage.
+    Remote object-store rewrites in-place under identical paths are not
+    caught (immutable-file assumption — an Iceberg snapshot id replaces
+    this wholesale when the catalog is real)."""
+    import os
+
+    files = sorted(df.inputFiles())
+    sized = []
+    for f in files[:1000]:
+        p = f.removeprefix("file:")
+        try:
+            sized.append((f, os.path.getsize(p)))
+        except OSError:
+            sized.append((f, -1))
+    try:
+        plan_hash = df.semanticHash()
+    except Exception:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+    return _fingerprint({"plan": plan_hash, "n_files": len(files), "files": sized})
 
 
 def default_transcript_model() -> FieldModel:
@@ -59,29 +84,62 @@ class SparkDedupe:
     use_minhash: bool = True
     max_block_size: int = 200
     threshold: float = 0.5
+    # hierarchical refinement within components (reference cluster()
+    # semantics — pure transitive closure over-merges weak chains); the
+    # benchmarked configuration
+    refine: bool = True
     catalog: Catalog | None = None
 
     # ---- stages ----------------------------------------------------------
+    # Fingerprints chain: each stage's params embed the upstream stage's
+    # fingerprint (and the root stage embeds the input-data fingerprint),
+    # so changing the input, predicates, flags, or model invalidates every
+    # stage downstream — never a silent resume of stale parquet.
     def _stage(self, name: str, params: dict, thunk, partition_by=None) -> DataFrame:
+        if not hasattr(self, "_chain"):
+            self._chain: dict[str, str] = {}
+        self._chain[name] = _fingerprint(params)
         if self.catalog is None:
             return thunk()
         return self.catalog.stage(name, params, thunk, partition_by=partition_by)
 
+    def _upstream(self, name: str) -> str:
+        return getattr(self, "_chain", {}).get(name, "unchained")
+
     def canonical_records(self, transcripts: DataFrame) -> DataFrame:
-        return self._stage("records", {"stage": "canonicalize"}, lambda: canonicalize(transcripts))
+        params = {"stage": "canonicalize", "input": _input_fingerprint(transcripts)}
+        return self._stage("records", params, lambda: canonicalize(transcripts))
+
+    def _token_stats(self, records: DataFrame, column: str = "conv_text"):
+        """Shared token-stats frame (one explode) reused across canopy
+        keys, minhash band keys, and the scorer's tf-idf vectors —
+        memoized per records frame (r1 bench: the three separate explodes
+        were 56% of pipeline wall time)."""
+        cached = getattr(self, "_tf_cache", None)
+        if cached is not None and cached[0] is records and cached[1] == column:
+            return cached[2], cached[3], cached[4]
+        tf, dfreq = B.token_stats(records, column)
+        tf = tf.persist()
+        n_docs = records.count()
+        self._tf_cache = (records, column, tf, dfreq, n_docs)
+        return tf, dfreq, n_docs
 
     def blocking_map(self, records: DataFrame) -> DataFrame:
         def thunk():
             bm = B.build_blocking_map(records, self.predicates)
-            if self.use_canopy:
-                bm = bm.unionByName(B.tfidf_canopy_keys(records, "conv_text", top_m=4))
-            if self.use_minhash:
-                # recall backstop: hard-noised members can lose first-turn
-                # tokens entirely, defeating prefix/token predicates, and
-                # canopy keys of common tokens die at the block cap;
-                # minhash bands key on whole-text similarity instead
-                # (measured: blocking recall .94 -> ~.99 on the bench corpus)
-                bm = bm.unionByName(B.minhash_band_keys(records, "conv_text"))
+            if self.use_canopy or self.use_minhash:
+                tf, dfreq, n_docs = self._token_stats(records)
+                if self.use_canopy:
+                    bm = bm.unionByName(
+                        B.tfidf_canopy_keys_from_stats(tf, dfreq, n_docs, "conv_text", top_m=4)
+                    )
+                if self.use_minhash:
+                    # recall backstop: hard-noised members can lose
+                    # first-turn tokens entirely, defeating prefix/token
+                    # predicates, and canopy keys of common tokens die at
+                    # the block cap; minhash bands key on whole-text
+                    # token-set similarity instead
+                    bm = bm.unionByName(B.minhash_band_keys_from_stats(tf))
             return B.cap_block_sizes(bm, self.max_block_size)
 
         return self._stage(
@@ -91,6 +149,7 @@ class SparkDedupe:
                 "canopy": self.use_canopy,
                 "minhash": self.use_minhash,
                 "cap": self.max_block_size,
+                "upstream": self._upstream("records"),
             },
             thunk,
         )
@@ -120,7 +179,12 @@ class SparkDedupe:
         text_vars = [v for v in self.model.variables if v.kind == "text"]
         vec_fields = []
         for v in text_vars:
-            vecs = D.tfidf_token_arrays(records, v.column)
+            cached = getattr(self, "_tf_cache", None)
+            if cached is not None and cached[0] is records and cached[1] == v.column:
+                # reuse the blocking build's shared token explode
+                vecs = D.tfidf_token_arrays_from_stats(cached[2], cached[3], cached[4])
+            else:
+                vecs = D.tfidf_token_arrays(records, v.column)
             slim = slim.join(
                 vecs.withColumnRenamed("record_id", "conv_id")
                 .withColumnRenamed("tfh", f"tfh_{v.column}")
@@ -143,13 +207,39 @@ class SparkDedupe:
             )
         return withd
 
+    def _pair_features_two(self, left: DataFrame, right: DataFrame, pairs: DataFrame) -> DataFrame:
+        """Two-source variant of _pair_features. conv_ids may collide
+        ACROSS sources, so records get internal per-source uid prefixes
+        (the synthetic-id trick of record_linkage_example.py:54-60) before
+        the shared hydration machinery — a shared id can no longer pull
+        both sources' rows into one hydration side. Pair ids are mapped
+        back afterwards; IDF statistics for text comparators are computed
+        over the union corpus (both datasets, matching the reference's
+        indexing over data_1 + data_2)."""
+        lu = left.withColumn("conv_id", F.concat(F.lit("l:"), F.col("conv_id")))
+        ru = right.withColumn("conv_id", F.concat(F.lit("r:"), F.col("conv_id")))
+        passthrough = [c for c in pairs.columns if c not in ("id_a", "id_b")]
+        pu = pairs.select(
+            F.concat(F.lit("l:"), F.col("id_a")).alias("id_a"),
+            F.concat(F.lit("r:"), F.col("id_b")).alias("id_b"),
+            *passthrough,
+        )
+        withd = self._pair_features(lu.unionByName(ru), pu)
+        return withd.withColumn("id_a", F.expr("substring(id_a, 3)")).withColumn(
+            "id_b", F.expr("substring(id_b, 3)")
+        )
+
     def scored_pairs(self, records: DataFrame, bm: DataFrame) -> DataFrame:
         def thunk():
             cand = P.candidate_pairs(bm)
             withd = self._pair_features(records, cand)
             return self.model.score(withd).select("id_a", "id_b", *self.model.feature_cols(), "score")
 
-        return self._stage("scored_pairs", {"model": self.model.to_json()}, thunk)
+        return self._stage(
+            "scored_pairs",
+            {"model": self.model.to_json(), "upstream": self._upstream("blocking_map")},
+            thunk,
+        )
 
     def fit(self, records: DataFrame, labeled_pairs: DataFrame, recall_weight: float = 1.0) -> None:
         """Fit LR weights from labeled pairs (FIXTURES.md §4; replaces the
@@ -174,8 +264,19 @@ class SparkDedupe:
         records = self.canonical_records(transcripts)
         bm = self.blocking_map(records)
         scored = self.scored_pairs(records, bm)
+        ckpt_dir = None
+        if self.catalog is not None:
+            import os
+
+            ckpt_dir = os.path.join(self.catalog.warehouse, "_cc_checkpoints")
         return self._stage(
             "entity_map",
-            {"threshold": self.threshold, "model": self.model.to_json()},
-            lambda: entity_map(scored, records, threshold=self.threshold),
+            {
+                "threshold": self.threshold,
+                "refine": self.refine,
+                "upstream": self._upstream("scored_pairs"),
+            },
+            lambda: entity_map(
+                scored, records, threshold=self.threshold, refine=self.refine, checkpoint_dir=ckpt_dir
+            ),
         )

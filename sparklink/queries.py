@@ -457,14 +457,80 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_minhash_lsh")  # xxhash64 not replicable in DuckDB -> rows-only check
+def _duck_minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5, max_bucket: int = 500) -> str:
+    """DuckDB oracle for minhash_lsh_pairs(hash_mode='portable'): identical
+    shingling, polynomial hash, (a*x+b) mod p permutations, band keys,
+    bucket cap, and est_jaccard — integer arithmetic end to end."""
+    from sparklink.dedup import _MERSENNE, _perm_params
+    from sparklink.portable import duck_poly
+
+    r = k // bands
+    sig_items = ", ".join(f"list_min(list_transform(xs, x -> (x*{a}+{b}) % {_MERSENNE}))" for a, b in _perm_params(k))
+    band_items = ", ".join(
+        "'b{b}:' || {key}".format(b=b, key=" || '_' || ".join(f"sig[{b * r + 1 + j}]" for j in range(r)))
+        for b in range(bands)
+    )
+    lo = shingle_n - 1
+    return f"""
+WITH d AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS c FROM documents),
+sh AS (SELECT doc_id, CASE WHEN length(c) < {shingle_n} THEN [c]
+        ELSE list_distinct(list_transform(range(1, length(c)-{lo - 1}), i -> substr(c, CAST(i AS INT), {shingle_n}))) END AS ss FROM d),
+hx AS (SELECT doc_id, list_transform(ss, s -> {duck_poly('s')}) AS xs FROM sh),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hx),
+bm AS (SELECT doc_id, unnest([{band_items}]) AS block_key FROM sig),
+ok AS (SELECT block_key FROM bm GROUP BY block_key HAVING count(*) <= {max_bucket}),
+bmf AS (SELECT bm.doc_id, bm.block_key FROM bm JOIN ok USING (block_key)),
+pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bmf l JOIN bmf r USING (block_key) WHERE l.doc_id < r.doc_id),
+ws AS (SELECT p.id_a, p.id_b, a.sig AS sa, b.sig AS sb
+       FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(len(list_filter(range(1, {k + 1}), i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) AS DOUBLE) / {k}, 6)
+           AS est_jaccard
+FROM ws
+"""
+
+
+@q("dedup_minhash_lsh", _duck_minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=32, bands=8)
+    """MinHash + banded LSH near-dup candidates, verified end-to-end by a
+    DuckDB oracle via the engine-portable hash (sparklink.portable); the
+    production xxhash64 path (bench.py) runs the same operator code."""
+    out = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=32, bands=8, hash_mode="portable")
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-@q("dedup_simhash")  # rows-only (xxhash64)
+def _duck_simhash_sql(width: int = 60, chunk_w: int = 15, max_hamming: int = 3) -> str:
+    """DuckDB oracle for simhash_near_pairs(hash_mode='portable')."""
+    from sparklink.portable import duck_poly_wide
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(width)
+    )
+    sim_terms = " + ".join(f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(width))
+    chunk_items = ", ".join(
+        f"'ch{c}:' || CAST((simhash >> {c * chunk_w}) & {(1 << chunk_w) - 1} AS VARCHAR)" for c in range(4)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), t -> t <> '')) AS t
+             FROM documents),
+h AS (SELECT doc_id, {duck_poly_wide('t')} AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {sim_terms} AS simhash FROM bits),
+bm AS (SELECT doc_id, simhash, unnest([{chunk_items}]) AS block_key FROM sh),
+pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.simhash AS sa, r.simhash AS sb
+          FROM bm l JOIN bm r USING (block_key) WHERE l.doc_id < r.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@q("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs over the portable 60-bit token hash; the
+    production xxhash64/64-bit path runs the same operator code."""
+    out = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, hash_mode="portable")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @q(
@@ -556,19 +622,90 @@ def ann_topk_bruteforce(spark, sf_dir):
     return ann.brute_force_topk(emb, qs, k=10)
 
 
-@q("ann_topk_lsh")  # hyperplane constants not worth replicating in SQL -> rows-only
+DUCK_UNITV = """
+unitv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+    FROM embeddings
+)"""
+
+_LSH_PLANE_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+_DUCK_LSH_SQL = (
+    "WITH "
+    + DUCK_UNITV
+    + f""",
+planes AS (SELECT vec_id AS pid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+           FROM embeddings WHERE vec_id IN ({", ".join(map(str, _LSH_PLANE_IDS))})),
+buckets AS (
+    SELECT v.vec_id,
+           CAST(sum(CASE WHEN round(list_sum(list_transform(range(1, len(v.u)+1), i -> v.u[i] * p.pv[i])), 6) >= 0
+                         THEN 1 << (CAST(p.pid AS INT) - 1) ELSE 0 END) AS BIGINT) AS bucket
+    FROM unitv v CROSS JOIN planes p GROUP BY v.vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           round(list_sum(list_transform(range(1, len(cu.u)+1), i -> cu.u[i] * qu.u[i])), 6) AS cos
+    FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    JOIN unitv cu ON cu.vec_id = c.vec_id JOIN unitv qu ON qu.vec_id = q.vec_id
+    WHERE q.vec_id % 100 = 0
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+)
+
+
+@q("ann_topk_lsh", _DUCK_LSH_SQL)
 def ann_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN with deterministic data-derived planes (raw
+    vectors of fixed vec_ids) so the DuckDB oracle reproduces buckets and
+    ranking exactly; the seeded-random-plane production path runs the same
+    operator code (ann.lsh_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann.lsh_topk(emb, qs, k=10)
+    planes = ann.data_planes(emb, _LSH_PLANE_IDS)
+    return ann.lsh_topk(emb, qs, k=10, planes=planes)
 
 
-@q("multimodal_features")  # binary payloads, no SQL oracle -> rows-only
+_DUCK_MULTIMODAL_SQL = """
+WITH d AS (SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        text, length(text) AS n FROM documents),
+b AS (SELECT media_id, kind, n, text,
+        list_transform(range(1, n+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+      FROM d)
+SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes, sha256(text) AS payload_sha,
+       array_to_string(list_transform(range(0, 8),
+           j -> CAST(coalesce(list_sum(bytes[CAST(j*n//8+1 AS INT):CAST((j+1)*n//8 AS INT)]), 0) AS VARCHAR)),
+           ',') AS chunk_sums_csv
+FROM b
+"""
+
+
+@q("multimodal_features", _DUCK_MULTIMODAL_SQL)
 def multimodal_features(spark, sf_dir):
-    from sparklink.multimodal import extract_features, synth_media
+    """Multimodal decode plumbing (mapInPandas over binary payloads) made
+    oracle-checkable: the media table derives from the documents corpus
+    (payload = UTF-8 text bytes) and the deterministic decode stub's
+    integer chunk sums are emitted as a scalar CSV — exact arithmetic the
+    DuckDB oracle recomputes byte-for-byte. pytest covers the RNG-payload
+    synth_media path and the strict NotImplementedError mode."""
+    from sparklink.multimodal import extract_features, media_from_documents
 
-    media = synth_media(spark, n=128, seed=3)
-    return extract_features(media, dim=8)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_sha",
+        F.array_join(F.col("chunk_sums").cast("array<string>"), ",").alias("chunk_sums_csv"),
+    )
 
 
 # --- additional operator coverage (round 1 extension) -----------------------
@@ -749,16 +886,82 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
-@q("text_winnowing")  # xxhash64 fingerprints -> rows-only
+def _duck_winnowing_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB oracle for winnowing_fingerprints(hash_mode='portable'):
+    same md5-derived k-gram hashes, windowed min, distinct set — emitted as
+    a sorted CSV string (hash-stable scalar for the driver comparator)."""
+    from sparklink.portable import duck_md5_hash60
+
+    gram = duck_md5_hash60(f"substr(c, CAST(i AS INT), {k})")
+    return f"""
+WITH d AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS c FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(c)-{k - 1}, 1)+1), i -> {gram}) AS grams FROM d),
+w AS (SELECT doc_id, list_transform(range(0, greatest(len(grams)-{window}, 0)+1),
+        w -> list_min(grams[CAST(w+1 AS INT):CAST(least(w+{window}, len(grams)) AS INT)])) AS wins FROM g)
+SELECT doc_id, array_to_string(list_sort(list_distinct(wins)), ',') AS fp_csv,
+       len(list_distinct(wins)) AS n_fp
+FROM w
+"""
+
+
+@q("text_winnowing", _duck_winnowing_sql())
 def text_winnowing(spark, sf_dir):
-    return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+    """Winnowing fingerprints via the portable k-gram hash, scalarized to a
+    sorted CSV (driver comparator can't hash array cells); the library API
+    keeps the array form."""
+    fp = textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"), hash_mode="portable")
+    return fp.select(
+        "doc_id",
+        F.array_join(F.array_sort("fingerprints").cast("array<string>"), ",").alias("fp_csv"),
+        F.size("fingerprints").alias("n_fp"),
+    )
 
 
-@q("ann_topk_ivf")  # seeded centroids -> rows-only
+_IVF_CENT_IDS = [7, 70, 140, 210, 280, 350, 420, 490]
+
+_DUCK_IVF_SQL = (
+    "WITH "
+    + DUCK_UNITV
+    + f""",
+cents AS (SELECT CASE vec_id {" ".join(f"WHEN {v} THEN {i}" for i, v in enumerate(_IVF_CENT_IDS))} END AS cell, u AS cu
+          FROM unitv WHERE vec_id IN ({", ".join(map(str, _IVF_CENT_IDS))})),
+cd AS (SELECT v.vec_id, c.cell,
+              round(list_sum(list_transform(range(1, len(v.u)+1), i -> v.u[i] * c.cu[i])), 6) AS d
+       FROM unitv v CROSS JOIN cents c),
+assign AS (SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn FROM cd
+) WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM cd WHERE vec_id % 100 = 0
+) WHERE rn <= 3),
+scored AS (
+    SELECT q.query_id, a.vec_id,
+           round(list_sum(list_transform(range(1, len(cu.u)+1), i -> cu.u[i] * qu.u[i])), 6) AS cos
+    FROM qp q JOIN assign a USING (cell)
+    JOIN unitv cu ON cu.vec_id = a.vec_id JOIN unitv qu ON qu.vec_id = q.query_id
+    WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+)
+
+
+@q("ann_topk_ivf", _DUCK_IVF_SQL)
 def ann_topk_ivf(spark, sf_dir):
+    """IVF probe path (cell assignment -> n_probe nearest cells -> exact
+    rerank) with deterministic data-derived centroids (unit vectors of
+    fixed vec_ids) so the DuckDB oracle reproduces it exactly. Lloyd
+    training (ann.train_ivf_centroids) is verified separately in pytest —
+    its centroids are not SQL-expressible."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    cents = ann.train_ivf_centroids(emb, n_cells=8, iters=2)
+    cents = ann.unit_centroids(emb, _IVF_CENT_IDS)
     return ann.ivf_topk(emb, qs, cents, k=10, n_probe=3)
 
 

@@ -57,6 +57,39 @@ _STRING_UDFS = {
 }
 
 
+def _name_components(c: Column) -> Column:
+    """(first, last) struct from a person-name column: 'LAST, FIRST' if a
+    comma is present, else first token = first name / last token = last
+    name. Pure JVM regexp — no UDF."""
+    n = F.lower(F.trim(c))
+    has_comma = n.contains(",")
+    before = F.trim(F.regexp_extract(n, r"^([^,]*)", 1))
+    after = F.trim(F.regexp_extract(n, r",\s*(.*)$", 1))
+    first_tok = F.regexp_extract(n, r"^(\S+)", 1)
+    last_tok = F.regexp_extract(n, r"(\S+)$", 1)
+    return F.struct(
+        F.when(has_comma, F.regexp_extract(after, r"^(\S+)", 1)).otherwise(first_tok).alias("first"),
+        F.when(has_comma, F.regexp_extract(before, r"(\S+)$", 1)).otherwise(last_tok).alias("last"),
+    )
+
+
+def _address_components(c: Column) -> Column:
+    """(number, street, unit) struct from a street-address column. number =
+    leading digit run; unit = value after apt/unit/suite/ste/# marker;
+    street = what remains, normalized. Pure JVM regexp."""
+    a = F.lower(F.trim(c))
+    number = F.nullif(F.regexp_extract(a, r"^\s*(\d+)", 1), F.lit(""))
+    unit = F.nullif(F.regexp_extract(a, r"(?:apt|unit|suite|ste|#)\.?\s*([0-9a-z-]+)\s*$", 1), F.lit(""))
+    street = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(a, r"^\s*\d+\s*", ""),
+            r"(?:apt|unit|suite|ste|#)\.?\s*[0-9a-z-]+\s*$",
+            "",
+        )
+    )
+    return F.struct(number.alias("number"), street.alias("street"), unit.alias("unit"))
+
+
 def select_threshold(scores: np.ndarray, labels: np.ndarray, recall_weight: float = 1.0) -> float:
     """F-beta-optimal decision threshold from labeled pair scores — the
     analogue of ``gazetteer.threshold(messy, recall_weight=1.0)``
@@ -110,12 +143,31 @@ class Variable:
 
     kind: 'string' (affine_gap), 'shortstring' (jaro_winkler),
           'levenshtein', 'exact', 'jaccard' (Set), 'price', 'relnum',
-          'text' (TF-IDF cosine sub-plan), 'latlong'.
+          'text' (TF-IDF cosine sub-plan), 'latlong',
+          'categorical' (with ``categories`` declared: per-category-pair
+          dummy features, dedupe CategoricalType semantics,
+          extended-variables/officers.py:115-117; without: same-category
+          indicator), 'name' / 'address' (structured component split +
+          per-component comparators — the non-CRF approximation of
+          dedupe-variable-name/-address, extended-variables/officers.py:
+          109-110).
+
+    has_missing is forced False for 'text': its cosine is attached as a
+    DataFrame sub-plan whose missing sides are imputed 0 inside the kernel,
+    and no raw column is hydrated to derive a dummy from (a True value
+    would emit a feature column nothing creates -> AnalysisException).
     """
 
     column: str
     kind: str
     has_missing: bool = True
+    categories: tuple = ()
+
+    def __post_init__(self):
+        if self.kind == "text" and self.has_missing:
+            object.__setattr__(self, "has_missing", False)
+        if self.categories:
+            object.__setattr__(self, "categories", tuple(self.categories))
 
     @property
     def name(self) -> str:
@@ -124,6 +176,17 @@ class Variable:
     @property
     def dist_col(self) -> str:
         return f"d_{self.kind}_{self.column}"
+
+    @property
+    def category_combos(self) -> list[tuple[str, str]]:
+        """Unordered category pairs, baseline (first, first) dropped —
+        dedupe's dummy expansion of CategoricalComparator output."""
+        cats = list(self.categories)
+        combos = [(cats[i], cats[j]) for i in range(len(cats)) for j in range(i, len(cats))]
+        return combos[1:]
+
+    def combo_cols(self) -> list[str]:
+        return [f"d_cat_{self.column}__{a}__{b}" for a, b in self.category_combos]
 
 
 @dataclass
@@ -136,7 +199,12 @@ class FieldModel:
     # -- feature layout: [dist_1..dist_k, missing_dummy per has_missing var,
     #    interaction products] ----------------------------------------------
     def feature_cols(self) -> list[str]:
-        cols = [v.dist_col for v in self.variables]
+        cols = []
+        for v in self.variables:
+            if v.kind == "categorical" and v.categories:
+                cols += v.combo_cols()
+            else:
+                cols.append(v.dist_col)
         cols += [f"m_{v.dist_col}" for v in self.variables if v.has_missing]
         cols += [f"x_{a}__{b}" for a, b in self.interactions]
         return cols
@@ -156,6 +224,18 @@ class FieldModel:
         out = hydrated
         for v in self.variables:
             l, r = F.col(v.column + "_a"), F.col(v.column + "_b")
+            missing = l.isNull() | r.isNull()
+            if v.kind == "categorical" and v.categories:
+                # per-category-pair dummy encoding (dedupe CategoricalType,
+                # extended-variables/officers.py:115-117): one indicator per
+                # unordered category combination, baseline combo dropped;
+                # values outside the declared set behave as baseline
+                for (ca, cb), cname in zip(v.category_combos, v.combo_cols()):
+                    hit = ((l == ca) & (r == cb)) | ((l == cb) & (r == ca))
+                    out = out.withColumn(cname, F.when(missing, F.lit(0.0)).otherwise(hit.cast("double")))
+                if v.has_missing:
+                    out = out.withColumn(f"m_{v.dist_col}", (~missing).cast("double"))
+                continue
             if v.kind == "string":
                 # the DP kernels cap at 48/64 chars — truncate JVM-side so
                 # the Arrow transfer ships bytes the kernel will read
@@ -166,6 +246,31 @@ class FieldModel:
                 raw = 1.0 - levenshtein_udf(F.substring(l, 1, 64), F.substring(r, 1, 64))
             elif v.kind == "latlong":
                 raw = 1.0 / (1.0 + D.haversine_km(l["lat"], l["lng"], r["lat"], r["lng"]))
+            elif v.kind == "name":
+                # structured person-name comparison (non-CRF approximation
+                # of dedupe-variable-name, extended-variables/officers.py:
+                # 109): split into (first, last) components JVM-side —
+                # "LAST, FIRST" and "FIRST [MIDDLE] LAST" forms — then
+                # Jaro-Winkler per component. Component-wise comparison
+                # scores "JOHN SMITH" vs "SMITH, JOHN" as a match where
+                # whole-string JW does not.
+                fl_l, fl_r = _name_components(l), _name_components(r)
+                raw = 0.5 * jaro_winkler_udf(fl_l["first"], fl_r["first"]) + 0.5 * jaro_winkler_udf(
+                    fl_l["last"], fl_r["last"]
+                )
+            elif v.kind == "address":
+                # structured street-address comparison (non-CRF
+                # approximation of dedupe-variable-address): house number
+                # exact, street name Jaro-Winkler, unit exact-or-both-absent
+                ad_l, ad_r = _address_components(l), _address_components(r)
+                unit_score = F.when(
+                    ad_l["unit"].isNull() & ad_r["unit"].isNull(), F.lit(1.0)
+                ).otherwise(F.coalesce((ad_l["unit"] == ad_r["unit"]).cast("double"), F.lit(0.0)))
+                raw = (
+                    0.35 * F.coalesce((ad_l["number"] == ad_r["number"]).cast("double"), F.lit(0.0))
+                    + 0.55 * jaro_winkler_udf(ad_l["street"], ad_r["street"])
+                    + 0.10 * unit_score
+                )
             elif v.kind == "text":
                 # attached separately as a DataFrame sub-plan
                 # (distances.cosine_for_pairs); nothing to do per-row here
@@ -174,7 +279,6 @@ class FieldModel:
                 raw = _COMPARATORS[v.kind](l, r)
             else:
                 raise ValueError(f"unknown comparator kind {v.kind}")
-            missing = l.isNull() | r.isNull()
             out = out.withColumn(v.dist_col, F.when(missing, F.lit(0.0)).otherwise(raw))
             if v.has_missing:
                 out = out.withColumn(f"m_{v.dist_col}", (~missing).cast("double"))
@@ -225,7 +329,15 @@ class FieldModel:
     def to_json(self) -> str:
         return json.dumps(
             {
-                "variables": [{"column": v.column, "kind": v.kind, "has_missing": v.has_missing} for v in self.variables],
+                "variables": [
+                    {
+                        "column": v.column,
+                        "kind": v.kind,
+                        "has_missing": v.has_missing,
+                        **({"categories": list(v.categories)} if v.categories else {}),
+                    }
+                    for v in self.variables
+                ],
                 "interactions": self.interactions,
                 "weights": None if self.weights is None else list(map(float, self.weights)),
                 "bias": self.bias,

@@ -103,14 +103,34 @@ def content_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def winnowing_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, window: int = 4
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, window: int = 4,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Winnowing (Schleimer et al. 2003): min hash per sliding window of
-    k-gram hashes -> distinct fingerprint set per doc. Array ops only."""
-    c = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    grams = F.transform(F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))), lambda i: F.xxhash64(c.substr(i, F.lit(k))))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    k-gram hashes -> distinct fingerprint set per doc. Array ops only.
+    hash_mode='portable' swaps xxhash64 for the engine-portable md5-derived
+    60-bit k-gram hash (see sparklink.portable) so a DuckDB oracle
+    matches. (A per-char polynomial fold was tried first: at one lambda
+    eval per char per gram it is interpreted-expression-bound and ~100x
+    slower than native md5 at equal output.)"""
+    from sparklink.portable import md5_hash60
+
+    # materialize the normalized text and the gram array as real columns
+    # BEFORE the per-element lambdas: an expression inlined into a
+    # higher-order-function lambda re-evaluates per element (the
+    # regexp_replace would run once per gram -> quadratic in doc length)
+    norm = docs.select(
+        F.col(id_col), F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("c")
     )
-    return docs.select(F.col(id_col), F.array_distinct(wins).alias("fingerprints"))
+    c = F.col("c")
+    hash_fn = md5_hash60 if hash_mode == "portable" else F.xxhash64
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: hash_fn(c.substr(i, F.lit(k))),
+    )
+    g = norm.select(F.col(id_col), grams_expr.alias("grams"))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("grams") - window, F.lit(0))),
+        lambda i: F.array_min(F.slice("grams", i + 1, window)),
+    )
+    return g.select(F.col(id_col), F.array_distinct(wins).alias("fingerprints"))
