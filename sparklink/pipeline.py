@@ -117,18 +117,19 @@ class SparkDedupe:
         were 56% of pipeline wall time)."""
         cached = getattr(self, "_tf_cache", None)
         if cached is not None and cached[0] is records and cached[1] == column:
-            return cached[2], cached[3], cached[4]
-        tf, dfreq = B.token_stats(records, column)
+            return cached[2], cached[3], cached[4], cached[5]
+        toks, tf, dfreq = B.token_stats(records, column)
+        toks = toks.persist()
         tf = tf.persist()
         n_docs = records.count()
-        self._tf_cache = (records, column, tf, dfreq, n_docs)
-        return tf, dfreq, n_docs
+        self._tf_cache = (records, column, toks, tf, dfreq, n_docs)
+        return toks, tf, dfreq, n_docs
 
     def blocking_map(self, records: DataFrame) -> DataFrame:
         def thunk():
             bm = B.build_blocking_map(records, self.predicates)
             if self.use_canopy or self.use_minhash:
-                tf, dfreq, n_docs = self._token_stats(records)
+                toks, tf, dfreq, n_docs = self._token_stats(records)
                 if self.use_canopy:
                     bm = bm.unionByName(
                         B.tfidf_canopy_keys_from_stats(tf, dfreq, n_docs, "conv_text", top_m=4)
@@ -138,8 +139,8 @@ class SparkDedupe:
                     # first-turn tokens entirely, defeating prefix/token
                     # predicates, and canopy keys of common tokens die at
                     # the block cap; minhash bands key on whole-text
-                    # token-set similarity instead
-                    bm = bm.unionByName(B.minhash_band_keys_from_stats(tf))
+                    # word-shingle similarity instead
+                    bm = bm.unionByName(B.minhash_band_keys_from_tokens(toks))
             return B.cap_block_sizes(bm, self.max_block_size)
 
         return self._stage(
@@ -182,7 +183,7 @@ class SparkDedupe:
             cached = getattr(self, "_tf_cache", None)
             if cached is not None and cached[0] is records and cached[1] == v.column:
                 # reuse the blocking build's shared token explode
-                vecs = D.tfidf_token_arrays_from_stats(cached[2], cached[3], cached[4])
+                vecs = D.tfidf_token_arrays_from_stats(cached[3], cached[4], cached[5])
             else:
                 vecs = D.tfidf_token_arrays(records, v.column)
             slim = slim.join(
