@@ -122,6 +122,47 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    planes: list,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    len(planes)/bands planes per band; records sharing ANY band's sign
+    pattern become candidates (P[miss] = (1-p^r)^bands for per-plane
+    agreement p = 1 - angle/pi), then exact cosine >= threshold verifies.
+    The 100 TB shape: per-band equi-joins on small buckets, never
+    all-pairs; oversize buckets dropped like blocking.cap_block_sizes.
+    Returns (id_a, id_b, cos)."""
+    r = len(planes) // bands
+    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
+    band_keys = []
+    for b in range(bands):
+        bits = None
+        for j, p in enumerate(planes[b * r : (b + 1) * r]):
+            bit = F.when(F.round(_dot(F.col("cu"), F.array(*[F.lit(float(x)) for x in p])), 6) >= 0, 1 << j).otherwise(0)
+            bits = bit if bits is None else bits + bit
+        band_keys.append(F.concat(F.lit(f"b{b}:"), bits.cast("string")))
+    bm = c.select(id_col, "cu", F.explode(F.array(*band_keys)).alias("bk"))
+    oversized = bm.groupBy("bk").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket).select("bk")
+    bm = bm.join(F.broadcast(oversized), "bk", "left_anti")
+    l = bm.select("bk", F.col(id_col).alias("id_a"), F.col("cu").alias("ua"))
+    rr = bm.select("bk", F.col(id_col).alias("id_b"), F.col("cu").alias("ub"))
+    pairs = (
+        l.join(rr, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ua", "ub")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(_dot(F.col("ua"), F.col("ub")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= threshold)
+
+
 def train_ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, iters: int = 3, vec_col: str = "embedding", seed: int = 11
 ) -> np.ndarray:

@@ -672,6 +672,46 @@ def ann_topk_lsh(spark, sf_dir):
     return ann.lsh_topk(emb, qs, k=10, planes=planes)
 
 
+_NEARDUP_PLANE_IDS = [11, 12, 13, 14, 15, 16, 17, 18]
+
+_DUCK_NEARDUP_SQL = (
+    "WITH "
+    + DUCK_UNITV
+    + f""",
+planes AS (SELECT vec_id AS pid,
+           row_number() OVER (ORDER BY vec_id) - 1 AS pidx,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+           FROM embeddings WHERE vec_id IN ({", ".join(map(str, _NEARDUP_PLANE_IDS))})),
+bits AS (
+    SELECT v.vec_id, CAST(p.pidx // 2 AS INT) AS band,
+           sum(CASE WHEN round(list_sum(list_transform(range(1, len(v.u)+1), i -> v.u[i] * p.pv[i])), 6) >= 0
+                    THEN 1 << CAST(p.pidx % 2 AS INT) ELSE 0 END) AS bits
+    FROM unitv v CROSS JOIN planes p GROUP BY v.vec_id, p.pidx // 2
+),
+bm AS (SELECT vec_id, 'b' || band || ':' || bits AS bk FROM bits),
+pairs AS (
+    SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+    FROM bm l JOIN bm r USING (bk) WHERE l.vec_id < r.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(list_sum(list_transform(range(1, len(a.u)+1), i -> a.u[i] * b.u[i])), 6) AS cos
+FROM pairs p JOIN unitv a ON a.vec_id = p.id_a JOIN unitv b ON b.vec_id = p.id_b
+WHERE round(list_sum(list_transform(range(1, len(a.u)+1), i -> a.u[i] * b.u[i])), 6) >= 0.45
+"""
+)
+
+
+@q("dedup_embedding_neardup", _DUCK_NEARDUP_SQL)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (banded hyperplane LSH + exact
+    verify). Threshold 0.45 fits the synth corpus's cosine range (max
+    ~0.51); production near-dup thresholds (0.9+) use the same operator
+    with tighter bands. Planes are data-derived for oracle parity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = ann.data_planes(emb, _NEARDUP_PLANE_IDS)
+    return ann.cosine_neardup_pairs(emb, threshold=0.45, planes=planes, bands=4)
+
+
 _DUCK_MULTIMODAL_SQL = """
 WITH d AS (SELECT doc_id AS media_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -53,6 +53,68 @@ def stream_gazetteer_matches(
     return writer.start()
 
 
+def stream_assemble_conversations(transcript_stream: DataFrame) -> DataFrame:
+    """Cross-batch conversation assembly — the custom stateful streaming
+    operator (applyInPandasWithState, SURVEY §7 streaming note): turns of
+    one conversation may arrive in different micro-batches; per-conv_id
+    state accumulates every turn seen so far and each update emits the
+    conversation's FULL turn set with a version counter (Update mode).
+    Downstream batch ``canonicalize`` consumes the latest version per
+    conversation, so ordering/cleaning/turn-collision semantics stay
+    identical to the batch path (the state op only assembles — it never
+    re-implements canonicalization).
+
+    State is the JSON-encoded list of raw turns (exact-duplicate rows
+    dropped; (conv,turn_idx) collisions kept so canonicalize's
+    earliest-ts dedup applies unchanged). At 10^12-turn scale the state
+    store shards by conv_id across executors; per-group state stays tiny
+    (one conversation)."""
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, version int, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    state_schema = "turns string, version int"
+
+    def assemble(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            turns_raw, version = state.get
+            turns = {tuple(t) for t in json.loads(turns_raw)}
+        else:
+            turns, version = set(), 0
+
+        def _n(x):
+            return None if x is None or (isinstance(x, float) and pd.isna(x)) else x
+
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                ts = None if pd.isna(r.ts) else int(pd.Timestamp(r.ts).value // 1000)
+                turns.add((int(r.turn_idx), _n(r.role), _n(r.text), _n(r.tool), ts))
+        version += 1
+        state.update((json.dumps(sorted(turns, key=lambda t: (t[0], str(t[1]), str(t[2])))), version))
+        rows = sorted(turns, key=lambda t: (t[0], str(t[1]), str(t[2])))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(rows),
+                "version": [version] * len(rows),
+                "turn_idx": [t[0] for t in rows],
+                "role": [t[1] for t in rows],
+                "text": [t[2] for t in rows],
+                "tool": [t[3] for t in rows],
+                "ts": [pd.NaT if t[4] is None else pd.Timestamp(t[4], unit="us") for t in rows],
+            }
+        )
+
+    return transcript_stream.groupBy("conv_id").applyInPandasWithState(
+        assemble, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_events_rollup(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -66,3 +66,47 @@ def test_stream_events_rollup_matches_batch(spark, tmp_path_factory):
     ).select(F.col("window.start").alias("day"), "event_type", "n_events", "value_cents")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_conversation_assembly_matches_batch(spark, tmp_path_factory):
+    """Turns of each conversation split across TWO micro-batch files; the
+    applyInPandasWithState assembler's final version must canonicalize to
+    exactly the batch canonicalize of the full input."""
+    from sparklink.canonicalize import canonicalize
+    from sparklink.streaming import stream_assemble_conversations
+    from sparklink.synth import make_transcripts
+
+    tp, _ = make_transcripts(n_entities=12, seed=31)
+    t = spark.createDataFrame(tp)
+    base = tmp_path_factory.mktemp("state_stream")
+    src, chk = str(base / "src"), str(base / "chk")
+    # batch 1: even turn_idx; batch 2: odd — every conversation spans both
+    t.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    t.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(t.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_assemble_conversations(stream)
+        .writeStream.format("memory")
+        .queryName("assembly_test")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.sql("select * from assembly_test")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id")
+    final = (
+        emitted.withColumn("_maxv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("_maxv"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    got = canonicalize(final).toPandas().sort_values("conv_id").reset_index(drop=True)
+    want = canonicalize(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    for col in ["n_turns", "conv_text", "first_user_text", "last_assistant_text"]:
+        assert got[col].tolist() == want[col].tolist(), col
