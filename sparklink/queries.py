@@ -280,6 +280,41 @@ def q_top_entities(spark, sf_dir):
 
 
 @q(
+    "q_money_format",
+    """
+WITH t AS (
+    SELECT c.c_custkey,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY total_cents DESC, c.c_custkey ASC
+    LIMIT 10
+)
+SELECT c_custkey,
+       format('{:,}', total_cents // 100) || '.' || lpad(CAST(total_cents % 100 AS VARCHAR), 2, '0')
+           AS total_display
+FROM t
+""",
+)
+def q_money_format(spark, sf_dir):
+    """Currency/locale display formatting (SURVEY §2.2 'currency format';
+    the reference prints payoff totals, mysql_example/mysql_example.py:
+    330-358). Built from integer cents so the grouped string is exact and
+    identical in the DuckDB oracle."""
+    from sparklink.sinks import money_display
+
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    top = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+        .orderBy(F.desc("total_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return top.select("c_custkey", money_display("total_cents").alias("total_display"))
+
+
+@q(
     "q_group_agg",
     """
 SELECT l_returnflag, l_linestatus,

@@ -52,6 +52,19 @@ def linked_output(
     return out.withColumn("Cluster ID", F.coalesce(F.col("Cluster ID"), F.col(id_col)))
 
 
+def money_display(cents) -> F.Column:
+    """Locale-style money string from integer cents (the reference's
+    display formatting of payoff totals, mysql_example/mysql_example.py:
+    330-358 analogue): thousands-grouped dollars + 2-digit cents, built
+    from integer arithmetic so it is exact and engine-portable."""
+    c = F.col(cents) if isinstance(cents, str) else cents
+    return F.concat(
+        F.format_number((c - (c % 100)) / F.lit(100), 0),
+        F.lit("."),
+        F.lpad((c % 100).cast("string"), 2, "0"),
+    )
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink; complex columns (arrays/structs) are JSON-encoded since the
     CSV datasource only takes atomics."""

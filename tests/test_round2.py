@@ -380,3 +380,24 @@ def test_multimodal_chunk_sums_and_strict(spark):
     feats = extract_features(synth_media(spark, n=12, seed=3), dim=8).toPandas()
     assert len(feats) == 12
     assert (feats["chunk_sums"].map(len) == 8).all()
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """connected_components with checkpoint_dir uses reliable df.checkpoint
+    (replicated storage on a real cluster): same components, checkpoint
+    files written, lineage truncated (plan roots at the checkpoint RDD)."""
+    import os
+
+    from sparklink.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(20)] + [("z1", "z2")],
+        "id_a string, id_b string",
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    got = connected_components(edges, checkpoint_dir=ckdir).toPandas()
+    lab = got.set_index("record_id")["component"]
+    assert (lab[[f"n{i:02d}" for i in range(21)]] == "n00").all()
+    assert lab["z1"] == lab["z2"] == "z1"
+    files = [os.path.join(r, f) for r, _, fs in os.walk(ckdir) for f in fs]
+    assert files, "reliable checkpoint wrote no files"
