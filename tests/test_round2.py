@@ -401,3 +401,23 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     assert lab["z1"] == lab["z2"] == "z1"
     files = [os.path.join(r, f) for r, _, fs in os.walk(ckdir) for f in fs]
     assert files, "reliable checkpoint wrote no files"
+
+
+def test_ivf_training_dim256_fast(spark):
+    """Dimension-independence of the distributed Lloyd update (VERDICT r1):
+    dim=256 must train without per-dimension aggregate expressions — the
+    posexplode+groupBy(cell,pos) plan's driver traffic is n_cells x dim
+    tiny rows per iteration."""
+    import time
+
+    from sparklink.ann import train_ivf_centroids
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.standard_normal(256).tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    cents = train_ivf_centroids(emb, n_cells=4, iters=2)
+    dt = time.time() - t0
+    assert cents.shape == (4, 256)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    assert dt < 60, f"dim=256 IVF training took {dt:.0f}s"
