@@ -129,8 +129,11 @@ def _levenshtein_core(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarr
     # after the loop `prev` holds, per batch row, the DP row for i=la
     # (rows freeze once i exceeds their length); answer is column lb.
     d = prev[np.arange(B), lb]
-    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float32)
-    return np.clip(d / denom, 0.0, 1.0)
+    # final division in float64: d and denom are exact small integers, so
+    # the normalized distance is the exact rational — bit-identical to any
+    # other engine computing levenshtein(a,b)/max(len) (oracle parity)
+    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float64)
+    return np.clip(d.astype(np.float64) / denom, 0.0, 1.0)
 
 
 # --------------------------------------------------------------------------

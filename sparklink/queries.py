@@ -280,6 +280,40 @@ def q_top_entities(spark, sf_dir):
 
 
 @q(
+    "er_pair_levenshtein",
+    DUCK_BLOCKKEYS_CTE
+    + """,
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+t AS (SELECT conv_id, substr(coalesce(first_user_text, ''), 1, 64) AS t64 FROM records)
+SELECT p.id_a, p.id_b,
+       round(CAST(levenshtein(a.t64, b.t64) AS DOUBLE)
+             / greatest(length(a.t64), length(b.t64), 1), 6) AS lev_dist
+FROM pairs p JOIN t a ON p.id_a = a.conv_id JOIN t b ON p.id_b = b.conv_id
+""",
+)
+def er_pair_levenshtein(spark, sf_dir):
+    """Cross-engine validation of the vectorized Levenshtein KERNEL itself
+    (distances._levenshtein_core, the batch DP with prefix-min scan):
+    normalized edit distance of candidate pairs' first_user_text must
+    hash-match DuckDB's native levenshtein()/max(len) — value-level parity
+    for the scorer's hot-path numpy DP, not just pytest scalar spot
+    checks."""
+    from sparklink.score import levenshtein_udf
+
+    recs = er_records(spark, sf_dir)
+    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES))
+    t = recs.select("conv_id", F.substring(F.coalesce("first_user_text", F.lit("")), 1, 64).alias("t64"))
+    a = t.select(F.col("conv_id").alias("id_a"), F.col("t64").alias("ta"))
+    b = t.select(F.col("conv_id").alias("id_b"), F.col("t64").alias("tb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return j.select("id_a", "id_b", F.round(levenshtein_udf("ta", "tb"), 6).alias("lev_dist"))
+
+
+@q(
     "q_money_format",
     """
 WITH t AS (
