@@ -421,3 +421,23 @@ def test_ivf_training_dim256_fast(spark):
     assert cents.shape == (4, 256)
     np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
     assert dt < 60, f"dim=256 IVF training took {dt:.0f}s"
+
+
+def test_scorer_single_arrow_node(spark, fixture_dfs):
+    """Plan-shape contract (PLANS.md §1): all scorer pandas UDFs evaluate in
+    ONE ArrowEvalPython node — one Arrow serialization round-trip per batch.
+    Guards against a refactor splitting the kernels into separate nodes."""
+    from sparklink.canonicalize import canonicalize
+    from sparklink.pipeline import SparkDedupe
+
+    transcripts, truth, labeled = fixture_dfs
+    dd = SparkDedupe()
+    records = canonicalize(transcripts).persist()
+    bm = dd.blocking_map(records)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in zip(*[iter(sorted(r.conv_id for r in records.select("conv_id").head(8)))] * 2)],
+        "id_a string, id_b string",
+    )
+    withd = dd._pair_features(records, pairs)
+    plan = withd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, f"expected 1 ArrowEvalPython node, plan has {plan.count('ArrowEvalPython')}"
