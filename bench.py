@@ -103,6 +103,7 @@ def run_er_pipeline(spark, fixture: str) -> dict:
 
     scored = dd.scored_pairs(records, bm).persist()
     n_pairs = scored.count()
+    dd.release_token_stats()  # scored is materialized; free the shared cache
     t_score = time.time()
 
     em = entity_map(scored, records, threshold=threshold, refine=True)

@@ -125,6 +125,19 @@ class SparkDedupe:
         self._tf_cache = (records, column, toks, tf, dfreq, n_docs)
         return toks, tf, dfreq, n_docs
 
+    def release_token_stats(self) -> None:
+        """Unpersist the shared token-stats frames. Call once scored_pairs
+        is MATERIALIZED (persisted/checkpointed) — nothing downstream reads
+        them, and holding ~|tokens| cached rows through the clustering
+        stage wastes executor memory (at scale: eviction/spill pressure).
+        Releasing earlier would silently recompute the whole explode inside
+        the next job that references a lazy scored-pairs frame."""
+        cached = getattr(self, "_tf_cache", None)
+        if cached is not None:
+            cached[2].unpersist()
+            cached[3].unpersist()
+            self._tf_cache = None
+
     def blocking_map(self, records: DataFrame) -> DataFrame:
         def thunk():
             bm = B.build_blocking_map(records, self.predicates)
@@ -265,6 +278,10 @@ class SparkDedupe:
         records = self.canonical_records(transcripts)
         bm = self.blocking_map(records)
         scored = self.scored_pairs(records, bm)
+        if self.catalog is not None:
+            # the scored_pairs stage write materialized the frame -> the
+            # token-stats cache has no remaining consumers
+            self.release_token_stats()
         ckpt_dir = None
         if self.catalog is not None:
             import os
