@@ -11,14 +11,22 @@
                      seed + Lloyd iterations as DataFrame jobs; probe
                      nearest n_probe cells.
 
-Hyperplanes/centroids are deterministic (seeded numpy) and broadcast as
-literal arrays — plans are reproducible and resume-safe.
+Hyperplanes are deterministic (seeded numpy). Centroids travel as DATA —
+a broadcast one-row centroid-matrix DataFrame (method='expr', exact
+fold-arithmetic parity with the SQL oracle) or an sc.broadcast numpy
+matrix inside a vectorized pandas UDF (method='pandas', the production
+path: BLAS assignment, constant plan size at any n_cells x dim). Neither
+embeds centroids as plan literals, so plan size is independent of the
+codebook (r2 VERDICT scale-killer: n_cells=4k x dim=768 as nested-CASE
+literals was a multi-million-literal plan).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -163,24 +171,137 @@ def cosine_neardup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
 
+def _centroid_matrix_df(spark, cents: np.ndarray) -> DataFrame:
+    """The codebook as a ONE-ROW DataFrame: cmat = array<struct<cell,cv>>.
+    Broadcast-joined (nested-loop, 1 row) onto any frame, it adds the
+    centroids as a data column — plan size stays O(1) in n_cells x dim,
+    unlike literal-embedded centroid expressions (r2 VERDICT #1)."""
+    data = [[(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]]
+    return spark.createDataFrame([(d,) for d in data], "cmat array<struct<cell:int,cv:array<double>>>")
+
+
+def _cell_scores(unit_col, cmat_col):
+    # array<struct<d,i>>: dot vs every centroid, rounded to 6dp. The dot is
+    # the same zip_with/aggregate fold as scoring, so the rounded value is
+    # bit-identical to the SQL oracle's list_sum fold.
+    return F.transform(
+        cmat_col,
+        lambda s: F.struct(F.round(_dot(unit_col, s["cv"]), 6).alias("d"), s["cell"].alias("i")),
+    )
+
+
+_CELL_CMP = lambda a, b: (  # noqa: E731 — probe order: d desc, cell asc
+    F.when(a["d"] > b["d"], -1)
+    .when(a["d"] < b["d"], 1)
+    .otherwise(F.when(a["i"] < b["i"], -1).when(a["i"] > b["i"], 1).otherwise(0))
+)
+
+
+def _np_unit_matrix(u: pd.Series, dim: int) -> np.ndarray:
+    if len(u) == 0:
+        return np.zeros((0, dim))
+    return np.stack([np.asarray(x, dtype=np.float64) for x in u])
+
+
+def assign_cells(
+    df: DataFrame, cents: np.ndarray, unit_col: str = "unit", out_col: str = "cell", method: str = "expr"
+) -> DataFrame:
+    """+ ``out_col`` = argmax-cosine centroid cell (rounded to 6dp, lowest
+    cell index on ties — deterministic, replicable by a SQL oracle's
+    row_number ORDER BY d DESC, cell ASC).
+
+    method='expr': broadcast one-row centroid-matrix join + JVM fold —
+    exact arithmetic parity with the DuckDB oracle; right up to moderate
+    codebooks (interpreted HOF, O(n_cells*dim) per row).
+    method='pandas': sc.broadcast numpy matrix + Arrow-batched BLAS matmul
+    — the production path for n_cells >= 1k (float64 matmul then the same
+    6dp round + first-max tiebreak; differs from 'expr' only if a dot sits
+    within ~1e-15 of a 0.5e-6 rounding boundary)."""
+    if method == "pandas":
+        bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+        @pandas_udf("int")
+        def _assign(u: pd.Series) -> pd.Series:
+            C = bc.value
+            U = _np_unit_matrix(u, C.shape[1])
+            d = np.round(U @ C.T, 6)
+            return pd.Series(d.argmax(axis=1).astype("int32") if len(U) else [], dtype="int32")
+
+        return df.withColumn(out_col, _assign(F.col(unit_col)))
+    cm = _centroid_matrix_df(df.sparkSession, cents)
+    j = df.join(F.broadcast(cm))
+    zero = F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i"))
+    best = F.aggregate(
+        _cell_scores(F.col(unit_col), F.col("cmat")),
+        zero,
+        lambda acc, s: F.when(s["d"] > acc["d"], s).otherwise(acc),
+    )
+    return j.withColumn(out_col, best["i"]).drop("cmat")
+
+
+def rank_cells(
+    df: DataFrame,
+    cents: np.ndarray,
+    unit_col: str = "unit",
+    out_col: str = "cells",
+    n_probe: int = 4,
+    method: str = "expr",
+) -> DataFrame:
+    """+ ``out_col`` = array of the n_probe nearest centroid cells
+    (d desc, cell asc). Same two methods as assign_cells."""
+    if method == "pandas":
+        bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+        @pandas_udf("array<int>")
+        def _rank(u: pd.Series) -> pd.Series:
+            C = bc.value
+            U = _np_unit_matrix(u, C.shape[1])
+            if not len(U):
+                return pd.Series([], dtype=object)
+            d = np.round(U @ C.T, 6)
+            order = np.argsort(-d, axis=1, kind="stable")  # stable keeps cell asc on ties
+            return pd.Series([row[:n_probe].astype("int32").tolist() for row in order])
+
+        return df.withColumn(out_col, _rank(F.col(unit_col)))
+    cm = _centroid_matrix_df(df.sparkSession, cents)
+    j = df.join(F.broadcast(cm)).withColumn("_cs", _cell_scores(F.col(unit_col), F.col("cmat")))
+    ranked = F.slice(F.transform(F.array_sort(F.col("_cs"), _CELL_CMP), lambda s: s["i"]), 1, n_probe)
+    return j.withColumn(out_col, ranked).drop("cmat", "_cs")
+
+
 def train_ivf_centroids(
-    corpus: DataFrame, n_cells: int = 16, iters: int = 3, vec_col: str = "embedding", seed: int = 11
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 11,
+    id_col: str = "vec_id",
+    method: str = "expr",
 ) -> np.ndarray:
-    """Lloyd iterations as DataFrame jobs: assign = argmin over broadcast
-    centroid literals (JVM exprs), update = posexplode + groupBy(cell, pos)
-    with map-side partial aggregation — ONE driver round-trip of
-    n_cells x dim tiny rows per iteration, independent of the embedding
-    dimension (the previous per-dimension aggregate-expression plan put
-    dim separate agg expressions in the plan and stalled the driver at
-    dim >= 256). Total driver actions = 1 (init) + iters.
-    Deterministic init from a seeded shuffle of the first 4*n_cells rows.
-    """
-    init = with_unit_vectors(corpus, vec_col, "u").select("u").limit(n_cells * 4).toPandas()
+    """Lloyd iterations as DataFrame jobs: assign = argmax cosine against
+    the broadcast codebook (assign_cells — data, never plan literals),
+    update = posexplode + groupBy(cell, pos) with map-side partial
+    aggregation — ONE driver round-trip of n_cells x dim tiny rows per
+    iteration, independent of the embedding dimension. Total driver
+    actions = 1 (init) + iters.
+
+    Deterministic init: candidate rows are ordered by xxhash64(id, seed)
+    BEFORE the limit, so the seed pool is identical at any partitioning /
+    partition order (a bare .limit() is partition-order-dependent on a
+    real cluster — r2 VERDICT #7), then a seeded permutation picks
+    n_cells of them. method='pandas' for production codebooks."""
+    init = (
+        with_unit_vectors(corpus, vec_col, "u")
+        .select("u", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_o"))
+        .orderBy("_o")
+        .limit(n_cells * 4)
+        .toPandas()
+    )
     rng = np.random.default_rng(seed)
     cents = np.stack(init["u"].to_numpy()[rng.permutation(len(init))[:n_cells]]).astype(np.float64)
     c = with_unit_vectors(corpus, vec_col).select(F.col("unit"))
     for _ in range(iters):
-        assigned = c.withColumn("cell", _argmin_cell(F.col("unit"), cents))
+        assigned = assign_cells(c, cents, unit_col="unit", method=method)
         stats = (
             assigned.select("cell", F.posexplode("unit").alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -195,21 +316,6 @@ def train_ivf_centroids(
     return cents
 
 
-def _argmin_cell(unit_col, cents: np.ndarray):
-    # dot rounded to 6dp before argmax; strict > keeps the lowest index on
-    # rounded ties — both deterministic and replicable by a SQL oracle
-    # (row_number ORDER BY d DESC, cell ASC)
-    expr = None
-    for i, cvec in enumerate(cents):
-        d = F.round(_dot(unit_col, F.array(*[F.lit(float(x)) for x in cvec])), 6)
-        if expr is None:
-            expr = F.struct(d.alias("d"), F.lit(i).alias("i"))
-        else:
-            cand = F.struct(d.alias("d"), F.lit(i).alias("i"))
-            expr = F.when(cand["d"] > expr["d"], cand).otherwise(expr)
-    return expr["i"]
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,37 +325,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "expr",
 ) -> DataFrame:
     """IVF probe: corpus partitioned by nearest centroid; each query scans
-    only its n_probe nearest cells."""
+    only its n_probe nearest cells. Centroids travel as broadcast data
+    (assign_cells/rank_cells), never plan literals — plan size is O(1) in
+    the codebook; method='pandas' for production n_cells x dim."""
     c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
-    c = c.withColumn("cell", _argmin_cell(F.col("cu"), cents))
+    c = assign_cells(c, cents, unit_col="cu", method=method)
     q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
-    cell_rank = [
-        F.struct(
-            F.round(_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cvec])), 6).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, cvec in enumerate(cents)
-    ]
-    q = q.withColumn(
-        "cells",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.array(*cell_rank),
-                    # probe order: rounded dot desc, cell index asc (stable
-                    # deterministic tiebreak, matches the oracle's ORDER BY)
-                    lambda a, b: F.when(a["d"] > b["d"], -1)
-                    .when(a["d"] < b["d"], 1)
-                    .otherwise(F.when(a["i"] < b["i"], -1).when(a["i"] > b["i"], 1).otherwise(0)),
-                ),
-                lambda s: s["i"],
-            ),
-            1,
-            n_probe,
-        ),
-    ).select(query_id_col, "qu", F.explode("cells").alias("cell"))
+    q = rank_cells(q, cents, unit_col="qu", n_probe=n_probe, method=method).select(
+        query_id_col, "qu", F.explode("cells").alias("cell")
+    )
     scored = c.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(query_id_col)).select(
         query_id_col, id_col, F.round(_dot(F.col("cu"), F.col("qu")), 6).alias("cos")
     )
