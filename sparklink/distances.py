@@ -369,9 +369,20 @@ def tfidf_token_arrays_from_stats(
     n_docs: int,
     top_m: int = 48,
     max_df_frac: float = 0.5,
+    hash_expr=None,
 ) -> DataFrame:
     """tfidf_token_arrays from a shared token-stats frame (see
-    blocking.token_stats) — no new explode over the corpus."""
+    blocking.token_stats) — no new explode over the corpus.
+
+    Within-row hash dedup: two DISTINCT tokens of one record colliding on
+    the 31-bit hash would break sparse_dot's assume_unique=True sorted
+    merge (undefined indices -> silently wrong score, ~5e-7/record — r2
+    VERDICT #3). Duplicate hashes are collapsed at build (keep max
+    weight), so per-row hash uniqueness holds BY CONSTRUCTION and the
+    32-bit tradeoff stays bounded noise instead of UB. The collapse is
+    array-side (sort + adjacent-filter over <=top_m elements) — no extra
+    shuffle. ``hash_expr`` (token Column -> int Column) is injectable so
+    tests can force collisions; default pmod(xxhash64, 2^31)."""
     dfreq = dfreq.filter(F.col("df") <= int(max(1, max_df_frac * n_docs)))
     w = tf.join(F.broadcast(dfreq), "token").withColumn(
         "w", F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
@@ -381,15 +392,35 @@ def tfidf_token_arrays_from_stats(
     win = Window.partitionBy("record_id").orderBy(F.desc("w"), F.asc("token"))
     top = w.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= top_m)
     # int32 hashes + float32 weights: halves the Arrow transfer per pair
-    # (hash collisions at 32 bits over <=top_m tokens/record are noise)
+    if hash_expr is None:
+        hash_expr = lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 31)).cast("int")  # noqa: E731
     agg = top.groupBy("record_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.pmod(F.xxhash64("token"), F.lit(1 << 31)).cast("int").alias("h"), F.col("w").alias("w"))
-            )
-        ).alias("hw"),
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"),
+        F.collect_list(F.struct(hash_expr(F.col("token")).alias("h"), F.col("w").alias("w"))).alias("hw0")
     )
+    # sort (h asc, w desc), then keep only the first (max-weight) entry of
+    # each hash run. hws must be a MATERIALIZED column: referencing the
+    # array_sort inside the filter lambda would re-sort once per element.
+    agg = agg.withColumn(
+        "hws",
+        F.array_sort(
+            "hw0",
+            lambda a, b: F.when(a["h"] < b["h"], -1)
+            .when(a["h"] > b["h"], 1)
+            .otherwise(F.when(a["w"] > b["w"], -1).when(a["w"] < b["w"], 1).otherwise(0)),
+        ),
+    ).drop("hw0")
+    # element_at is 1-based: element_at(hws, i) at 0-based position i is
+    # the PREVIOUS element (greatest() guards ANSI index-0 for i=0, where
+    # the i=0 arm of the OR keeps the element regardless)
+    agg = agg.withColumn(
+        "hw",
+        F.filter(
+            "hws",
+            lambda x, i: (i == 0) | (x["h"] != F.element_at(F.col("hws"), F.greatest(i, F.lit(1)))["h"]),
+        ),
+    )
+    norm = F.sqrt(F.aggregate("hw", F.lit(0.0), lambda acc, s: acc + s["w"] * s["w"]))
+    agg = agg.withColumn("norm", norm)
     return agg.select(
         "record_id",
         F.transform("hw", lambda s: s["h"]).alias("tfh"),
@@ -405,8 +436,10 @@ def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np
     (keys are 31-bit non-negative hashes, rows << 2^31 count per batch, so
     row*2^32 + hash stays unique and sorted), then a single intersect1d
     merge + scatter-add produces all dots — no per-row Python loop in the
-    scoring hot path. Hash collisions across distinct tokens are treated
-    as matches (same 32-bit-noise tradeoff as tfidf_token_arrays).
+    scoring hot path. assume_unique=True is safe because the array builder
+    (tfidf_token_arrays_from_stats) collapses within-row hash duplicates
+    at build time; cross-record collisions (two different tokens scoring
+    as a match) remain the documented 32-bit-noise tradeoff.
     """
     n = len(ha)
     out = np.zeros(n)

@@ -122,3 +122,208 @@ def test_ivf_topk_pandas_matches_expr(spark):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True), b.sort_values(key).reset_index(drop=True)
     )
+
+# ---------------------------------------------------------------------------
+# sparse_dot in-row hash-collision hardening (r2 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_arrays_collapse_in_row_hash_collisions(spark):
+    from sparklink.distances import sparse_dot, tfidf_token_arrays_from_stats
+
+    # force collisions: hash = token length, so "aa" and "bb" collide
+    tf = spark.createDataFrame(
+        [("r1", "aa", 2), ("r1", "bb", 1), ("r1", "ccc", 1), ("r2", "bb", 3), ("r2", "ddd", 1)],
+        "record_id string, token string, tf int",
+    )
+    dfreq = spark.createDataFrame(
+        [("aa", 1), ("bb", 2), ("ccc", 1), ("ddd", 1)], "token string, df int"
+    )
+    got = (
+        tfidf_token_arrays_from_stats(tf, dfreq, n_docs=10, hash_expr=lambda c: F.length(c).cast("int"))
+        .toPandas()
+        .set_index("record_id")
+    )
+    # r1 had two length-2 tokens -> ONE surviving entry per hash
+    assert list(got.loc["r1", "tfh"]) == [2, 3]
+    assert list(got.loc["r2", "tfh"]) == [2, 3]
+    for rid in ("r1", "r2"):
+        tfh = np.asarray(got.loc[rid, "tfh"])
+        assert len(np.unique(tfh)) == len(tfh), "per-row hashes must be unique by construction"
+        np.testing.assert_allclose(np.sum(np.square(got.loc[rid, "tfw"]), dtype=np.float64), 1.0, atol=1e-6)
+    # the surviving weight for hash 2 in r1 is the MAX-weight colliding
+    # token ("aa": tf=2, df=1 outweighs "bb": tf=1, df=2)
+    import math
+
+    w_aa = 2 * math.log(11.0 / 2.0)
+    w_ccc = 1 * math.log(11.0 / 2.0)
+    expect = w_aa / math.sqrt(w_aa**2 + w_ccc**2)
+    np.testing.assert_allclose(got.loc["r1", "tfw"][0], expect, atol=1e-6)
+
+    # sparse_dot over the deduped arrays: assume_unique holds, value sane
+    d = sparse_dot(
+        pd.Series([list(got.loc["r1", "tfh"])]),
+        pd.Series([[float(x) for x in got.loc["r1", "tfw"]]]),
+        pd.Series([list(got.loc["r2", "tfh"])]),
+        pd.Series([[float(x) for x in got.loc["r2", "tfw"]]]),
+    )
+    manual = float(
+        np.dot(
+            np.asarray(got.loc["r1", "tfw"], dtype=np.float64),
+            np.asarray(got.loc["r2", "tfw"], dtype=np.float64),
+        )
+    )
+    np.testing.assert_allclose(d[0], manual, atol=1e-9)
+
+
+def test_tfidf_arrays_default_hash_unchanged(spark):
+    """No-collision inputs produce identical arrays to the r2 layout
+    (sorted by hash, L2-normalized float32 weights)."""
+    from sparklink.distances import tfidf_token_arrays
+
+    recs = spark.createDataFrame(
+        [("c1", "alpha beta gamma"), ("c2", "beta gamma delta")], "conv_id string, conv_text string"
+    )
+    out = tfidf_token_arrays(recs, "conv_text").toPandas().set_index("record_id")
+    for rid in ("c1", "c2"):
+        tfh = np.asarray(out.loc[rid, "tfh"])
+        assert (np.diff(tfh) > 0).all(), "tfh must be strictly sorted"
+        np.testing.assert_allclose(np.sum(np.square(out.loc[rid, "tfw"]), dtype=np.float64), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# HAC tie-order pin (r2 ADVICE: NN-chain vs greedy tie behavior)
+# ---------------------------------------------------------------------------
+
+
+def test_hac_tie_heavy_fixture_pinned():
+    """Unscored pairs initialize AT the cut, so ties are the common case;
+    NN-chain's tie order is deterministic but differs from the removed
+    r1 greedy loop (a valid alternative dendrogram). Pin the flat-cut
+    output on a tie-heavy fixture so future refactors that change tie
+    behavior fail loudly instead of silently re-clustering."""
+    from sparklink.cluster import _avg_linkage_labels
+
+    n, cut = 12, 0.5
+    d = np.full((n, n), cut)
+    np.fill_diagonal(d, 0.0)
+    for i, j, v in [(0, 1, 0.05), (1, 2, 0.08), (3, 4, 0.1), (4, 5, 0.12), (6, 7, 0.05), (8, 9, 0.49), (9, 10, 0.51), (0, 11, 0.9)]:
+        d[i, j] = d[j, i] = v
+    labels = _avg_linkage_labels(d.copy(), cut)
+    canon: dict = {}
+    for k, lab in enumerate(labels):
+        canon.setdefault(lab, k)
+    assert [canon[l] for l in labels] == [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# Catalog: Iceberg strictly opt-in + backend recorded in lineage (r2 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_backend_mismatch_refuses_resume(spark, tmp_path):
+    """A warehouse written as parquet must NOT resume under an Iceberg
+    catalog (and vice versa): the data lives in the other storage system,
+    so a fingerprint-only check would load a missing/stale table."""
+    from sparklink.checkpoints import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    params = {"p": 1}
+    df = cat.stage("s1", params, lambda: spark.range(5).withColumnRenamed("id", "v"))
+    assert df.count() == 5
+    assert cat.has_stage("s1", params)
+    # same warehouse re-opened with an (unconfigured-is-fine: constructor
+    # is side-effect free) Iceberg catalog -> backend mismatch -> recompute
+    cat_ice = Catalog(spark, wh, iceberg_catalog="somecat")
+    assert cat_ice.backend == "iceberg"
+    assert not cat_ice.has_stage("s1", params)
+    # original parquet catalog still resumes
+    assert Catalog(spark, wh).has_stage("s1", params)
+    # lineage records the backend explicitly
+    recs = [r for r in cat._lineage() if r.get("event") == "write"]
+    assert recs and all(r["backend"] == "parquet" for r in recs)
+
+
+def test_catalog_never_autodetects_iceberg(spark, tmp_path):
+    """Sessions carrying spark.sql.catalog.* confs for unrelated tables
+    must not reroute stage I/O (r2 ADVICE: _detect_iceberg removed)."""
+    from sparklink.checkpoints import Catalog
+
+    spark.conf.set("spark.sql.catalog.unrelated", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        cat = Catalog(spark, str(tmp_path / "wh2"))
+        assert cat.iceberg_catalog is None and cat.backend == "parquet"
+        out = cat.stage("s", {"p": 2}, lambda: spark.range(3))
+        assert out.count() == 3  # wrote parquet, not a (broken) catalog table
+    finally:
+        spark.conf.unset("spark.sql.catalog.unrelated")
+
+
+@pytest.mark.skipif(
+    "SPARKLINK_ICEBERG_SESSION" not in __import__("os").environ,
+    reason="requires an Iceberg-runtime jar on the session classpath "
+    "(spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v>, "
+    "spark.sql.catalog.ice=org.apache.iceberg.spark.SparkCatalog, "
+    "spark.sql.catalog.ice.type=hadoop, spark.sql.catalog.ice.warehouse=<dir>); "
+    "no jar / no network in this sandbox — set SPARKLINK_ICEBERG_SESSION=1 "
+    "on a configured session to exercise the branch end-to-end",
+)
+def test_catalog_iceberg_branch_end_to_end(spark, tmp_path):
+    from sparklink.checkpoints import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "whi"), iceberg_catalog="ice")
+    params = {"p": 3}
+    df = cat.stage("s_ice", params, lambda: spark.range(7))
+    assert df.count() == 7
+    assert cat.has_stage("s_ice", params)
+    assert cat.load("s_ice").count() == 7
+    # MERGE write-back (SparkGazetteer.merge_matches) needs this catalog too
+    recs = [r for r in cat._lineage() if r.get("event") == "write"]
+    assert all(r["backend"] == "iceberg" for r in recs)
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer: index identity includes the input fingerprint (r2 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_gazetteer_reindex_different_canonical_invalidates(spark, tmp_path):
+    from sparklink.checkpoints import Catalog
+    from sparklink.linkage import SparkGazetteer
+    from sparklink.synth import make_transcripts
+
+    t1, _ = make_transcripts(n_entities=12, seed=1)
+    t2, _ = make_transcripts(n_entities=12, seed=2)
+    from sparklink.canonicalize import canonicalize
+
+    c1 = canonicalize(spark.createDataFrame(t1))
+    c2 = canonicalize(spark.createDataFrame(t2))
+    # materialize as parquet so _input_fingerprint sees distinct files
+    p1, p2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    c1.write.parquet(p1)
+    c2.write.parquet(p2)
+    c1, c2 = spark.read.parquet(p1), spark.read.parquet(p2)
+
+    wh = str(tmp_path / "gwh")
+    gaz = SparkGazetteer()
+    gaz.index(c1, catalog=Catalog(spark, wh))
+    n1 = gaz._index.count()
+    ids1 = {r.record_id for r in gaz._canonical.select(F.col("conv_id").alias("record_id")).collect()}
+
+    # same predicates, DIFFERENT canonical records: must NOT resume stale
+    gaz2 = SparkGazetteer()
+    cat2 = Catalog(spark, wh)
+    gaz2.index(c2, catalog=cat2)
+    ids2 = {r.record_id for r in gaz2._canonical.select(F.col("conv_id").alias("record_id")).collect()}
+    assert ids2 != ids1, "stale gazetteer_canonical resumed despite new input"
+    resume_hits = [m for m in cat2.metrics() if m.get("event") == "resume_hit"]
+    assert not resume_hits, "different canonical input must invalidate the index stage"
+
+    # identical input DOES resume
+    gaz3 = SparkGazetteer()
+    cat3 = Catalog(spark, wh)
+    gaz3.index(c2, catalog=cat3)
+    assert gaz3._index.count() == gaz2._index.count()
+    assert [m for m in cat3.metrics() if m.get("event") == "resume_hit"]
+    assert n1 >= 0
