@@ -161,10 +161,16 @@ def token_stats(records: DataFrame, column: str, id_col: str = "conv_id") -> tup
     toks(record_id, toks array<string>) — the materialized ordered token
     array (shingle builders derive from it without re-tokenizing);
     tf(record_id, token, tf); dfreq(token, df). Persist toks and tf at the
-    call site when more than one consumer derives from them."""
+    call site when more than one consumer derives from them.
+
+    Lowercases before tokenizing: tokens() splits on [^0-9a-z]+, so
+    uppercase letters would act as separators and mangle tokens/shingles
+    for any caller whose column is not pre-lowercased (r2 ADVICE — the
+    pipeline's conv_text happens to be lowered by clean_text, which masked
+    this for other callers). Idempotent on already-lowered input."""
     sc = records.sparkSession.sparkContext
     recs = records.repartition(sc.defaultParallelism)
-    toks = recs.select(F.col(id_col).alias("record_id"), tokens(F.col(column)).alias("toks"))
+    toks = recs.select(F.col(id_col).alias("record_id"), tokens(F.lower(F.col(column))).alias("toks"))
     tf = (
         toks.select("record_id", F.explode("toks").alias("token"))
         .groupBy("record_id", "token")

@@ -758,9 +758,14 @@ bits AS (
     FROM unitv v CROSS JOIN planes p GROUP BY v.vec_id, p.pidx // 2
 ),
 bm AS (SELECT vec_id, 'b' || band || ':' || bits AS bk FROM bits),
+-- same max_bucket=1000 skew guard the Spark operator applies (each
+-- 2-plane band has only 4 possible keys, so buckets exceed the cap once
+-- the corpus grows past ~4k rows — r2 ADVICE: without this the oracle
+-- keeps buckets Spark drops and parity diverges at larger sf)
+keep AS (SELECT bk FROM bm GROUP BY bk HAVING count(*) <= 1000),
 pairs AS (
     SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-    FROM bm l JOIN bm r USING (bk) WHERE l.vec_id < r.vec_id
+    FROM bm l JOIN bm r USING (bk) JOIN keep USING (bk) WHERE l.vec_id < r.vec_id
 )
 SELECT p.id_a, p.id_b,
        round(list_sum(list_transform(range(1, len(a.u)+1), i -> a.u[i] * b.u[i])), 6) AS cos
