@@ -28,33 +28,42 @@ def _fingerprint(payload: dict) -> str:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str, iceberg_catalog: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        iceberg_catalog: str | None = None,
+        namespace: str = "sparklink",
+    ):
         """``iceberg_catalog``: name of a configured Iceberg catalog
-        (spark.sql.catalog.<name> = org.apache.iceberg...). When set — or
-        auto-detected from the session conf — stage tables write through
-        ``df.writeTo(<catalog>.sparklink.<stage>).createOrReplace()`` and
-        load via the same identifier, giving snapshot-isolated stages; the
-        jar-less sandbox always exercises the Parquet-directory branch
-        (identical API and lineage/metrics sidecars either way)."""
+        (spark.sql.catalog.<name> = org.apache.iceberg...). Strictly
+        OPT-IN — never auto-detected from the session conf: a session that
+        happens to carry an Iceberg catalog for unrelated tables must not
+        silently reroute a warehouse previously written as parquet (the
+        lineage would still match while load() reads a non-existent
+        Iceberg table — r2 ADVICE). When set, stage tables write through
+        ``df.writeTo(<catalog>.<namespace>.<stage>).createOrReplace()``
+        (the namespace is created if absent) and load via the same
+        identifier, giving snapshot-isolated stages; the jar-less sandbox
+        always exercises the Parquet-directory branch (identical API and
+        lineage/metrics sidecars either way). The storage backend is
+        recorded in lineage, and has_stage() refuses to resume a stage
+        written by a DIFFERENT backend."""
         self.spark = spark
         self.warehouse = warehouse
-        self.iceberg_catalog = iceberg_catalog or self._detect_iceberg()
+        self.iceberg_catalog = iceberg_catalog
+        self.namespace = namespace
         os.makedirs(warehouse, exist_ok=True)
         self._lineage_path = os.path.join(warehouse, "_lineage.jsonl")
         self._metrics_path = os.path.join(warehouse, "_metrics.jsonl")
+        self._namespace_ready = False
 
-    def _detect_iceberg(self) -> str | None:
-        try:
-            confs = self.spark.sparkContext.getConf().getAll()
-        except Exception:
-            return None
-        for k, v in confs:
-            if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in str(v).lower():
-                return k.rsplit(".", 1)[1]
-        return None
+    @property
+    def backend(self) -> str:
+        return "iceberg" if self.iceberg_catalog else "parquet"
 
     def _table_ident(self, name: str) -> str:
-        return f"{self.iceberg_catalog}.sparklink.{name}"
+        return f"{self.iceberg_catalog}.{self.namespace}.{name}"
 
     # -- lineage / metrics ---------------------------------------------------
     def _lineage(self) -> list[dict]:
@@ -82,8 +91,15 @@ class Catalog:
 
     def has_stage(self, name: str, params: dict) -> bool:
         fp = _fingerprint(params)
-        done = {r["stage"]: r["fingerprint"] for r in self._lineage() if r.get("event") == "write"}
-        return done.get(name) == fp and os.path.exists(self.table_path(name))
+        done = {
+            r["stage"]: (r["fingerprint"], r.get("backend", "parquet"))
+            for r in self._lineage()
+            if r.get("event") == "write"
+        }
+        got = done.get(name)
+        # backend mismatch = the stage data lives in the OTHER storage
+        # system; resuming would read a missing/stale table — recompute
+        return got == (fp, self.backend) and os.path.exists(self.table_path(name))
 
     def load(self, name: str) -> DataFrame:
         if self.iceberg_catalog:
@@ -99,6 +115,9 @@ class Catalog:
         df = compute()
         path = self.table_path(name)
         if self.iceberg_catalog:
+            if not self._namespace_ready:
+                self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.iceberg_catalog}.{self.namespace}")
+                self._namespace_ready = True
             w = df.writeTo(self._table_ident(name))
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
@@ -125,6 +144,7 @@ class Catalog:
             {
                 "event": "write",
                 "stage": name,
+                "backend": self.backend,
                 "fingerprint": _fingerprint(params),
                 "params": params,
                 "rows": n,

@@ -107,7 +107,18 @@ class SparkGazetteer:
             B.build_blocking_map(canonical_records, self.predicates), self.max_block_size
         )
         if catalog is not None:
-            params = {"preds": [p.pid for p in self.predicates], "cap": self.max_block_size}
+            from sparklink.pipeline import _input_fingerprint
+
+            # the input fingerprint is part of the stage identity:
+            # re-indexing DIFFERENT canonical records under the same
+            # predicates must not resume the stale gazetteer tables
+            # (r2 ADVICE — the staleness class _input_fingerprint exists
+            # to prevent, mirrored from SparkDedupe.canonical_records)
+            params = {
+                "preds": [p.pid for p in self.predicates],
+                "cap": self.max_block_size,
+                "input": _input_fingerprint(canonical_records),
+            }
             self._canonical = catalog.stage("gazetteer_canonical", params, lambda: canonical_records)
             idx = catalog.stage("gazetteer_index", params, idx_thunk)
         else:
