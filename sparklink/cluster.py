@@ -91,6 +91,7 @@ def refine_components(
     comps: DataFrame,
     threshold: float,
     max_component: int = 2000,
+    on_oversized=None,
 ) -> DataFrame:
     """Average-linkage HAC within each connected component, cut at
     distance 1-threshold — dedupe's hierarchical clustering semantics
@@ -99,15 +100,33 @@ def refine_components(
     over-merges under pure CC (SURVEY §7 hard part (c)).
 
     Components are small post-blocking, so per-component HAC runs as
-    applyInPandas (numpy, O(n^3) worst case, n capped); oversized
-    components keep their CC assignment (logged by the caller via sizes).
+    applyInPandas (numpy, O(n^2) NN-chain, n capped); oversized components
+    keep their CC assignment and are REPORTED through ``on_oversized``
+    (count, max_size) — a silent skip would hide recall drift at scale.
     Returns (record_id, canon_id) with canon = min member id per refined
     cluster.
+
+    Tie order: un-compared pairs initialize exactly at the cut, so ties
+    are common; NN-chain resolves them deterministically (lowest argmin
+    index / previous chain element) but in a different — equally valid —
+    order than the removed r1 greedy loop. The flat-cut output is pinned
+    by a tie-heavy regression fixture (tests/test_round3.py).
     """
     import numpy as np
     import pandas as pd
 
     cut = 1.0 - threshold
+
+    if on_oversized is not None:
+        big = (
+            comps.groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_component)
+            .agg(F.count("*").alias("k"), F.max("n").alias("mx"))
+            .collect()[0]
+        )
+        if big["k"]:
+            on_oversized(int(big["k"]), int(big["mx"]))
 
     # edges here must be ALL scored pairs (sub-threshold included): the
     # below-threshold scores are exactly the evidence that splits a weak
@@ -213,6 +232,8 @@ def entity_map(
     id_col: str = "conv_id",
     refine: bool = False,
     checkpoint_dir: str | None = None,
+    max_component: int = 2000,
+    on_oversized=None,
 ) -> DataFrame:
     """scored pairs + full record set -> (record_id, canon_id, cluster_score).
 
@@ -225,7 +246,9 @@ def entity_map(
     comps = connected_components(edges.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir)
     if refine:
         all_scored = scored_pairs.select("id_a", "id_b", "score")
-        refined = refine_components(all_scored, comps, threshold)
+        refined = refine_components(
+            all_scored, comps, threshold, max_component=max_component, on_oversized=on_oversized
+        )
         comps = refined.select("record_id", F.col("canon_id").alias("component"))
     # confidence: mean incident edge score to co-members of the SAME final
     # cluster (matters under refinement, where an edge may cross clusters)

@@ -88,6 +88,9 @@ class SparkDedupe:
     # semantics — pure transitive closure over-merges weak chains); the
     # benchmarked configuration
     refine: bool = True
+    # components above this skip HAC refinement (keep their CC label);
+    # skips are logged to the catalog's metrics table when one is attached
+    max_component: int = 2000
     catalog: Catalog | None = None
 
     # ---- stages ----------------------------------------------------------
@@ -283,18 +286,30 @@ class SparkDedupe:
             # token-stats cache has no remaining consumers
             self.release_token_stats()
         ckpt_dir = None
+        on_oversized = None
         if self.catalog is not None:
             import os
 
             ckpt_dir = os.path.join(self.catalog.warehouse, "_cc_checkpoints")
+            cat = self.catalog
+            on_oversized = lambda k, mx: cat.log_metric(  # noqa: E731
+                "refine_components", event="oversized_skipped", count=k, max_size=mx
+            )
         return self._stage(
             "entity_map",
             {
                 "threshold": self.threshold,
                 "refine": self.refine,
+                "max_component": self.max_component,
                 "upstream": self._upstream("scored_pairs"),
             },
             lambda: entity_map(
-                scored, records, threshold=self.threshold, refine=self.refine, checkpoint_dir=ckpt_dir
+                scored,
+                records,
+                threshold=self.threshold,
+                refine=self.refine,
+                checkpoint_dir=ckpt_dir,
+                max_component=self.max_component,
+                on_oversized=on_oversized,
             ),
         )

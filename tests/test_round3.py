@@ -327,3 +327,99 @@ def test_gazetteer_reindex_different_canonical_invalidates(spark, tmp_path):
     assert gaz3._index.count() == gaz2._index.count()
     assert [m for m in cat3.metrics() if m.get("event") == "resume_hit"]
     assert n1 >= 0
+
+
+# ---------------------------------------------------------------------------
+# Production (xxhash64) LSH candidate quality vs exact ground truth
+# (r2 VERDICT "What's missing" #1)
+# ---------------------------------------------------------------------------
+
+
+def _exact_shingle_jaccard(rows, n=5):
+    """Driver-side exact char-n-gram Jaccard over all pairs — the ground
+    truth the production hash path is measured against (engine-independent:
+    pure set arithmetic on the same normalization the operator applies)."""
+    import itertools
+    import re
+
+    def sh(t):
+        t = re.sub(r"\s+", " ", t.lower())
+        return set(t[i : i + n] for i in range(max(len(t) - n + 1, 1)))
+
+    ss = {d: sh(t) for d, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(ss), 2):
+        sa, sb = ss[a], ss[b]
+        inter = len(sa & sb)
+        out[(a, b)] = inter / (len(sa) + len(sb) - inter)
+    return out
+
+
+def test_xxhash_minhash_lsh_candidate_quality(spark):
+    """The path bench.py measures and a user deploys (hash_mode='xxhash')
+    — the portable-hash oracle twin verifies the operator logic, this
+    verifies the production hash's candidate QUALITY: recall >= 0.9 of
+    true pairs at exact Jaccard >= 0.7 (k=32, bands=8, r=4: collision
+    prob at J=0.7 is 1-(1-0.7^4)^8 ~ 0.91), and estimates that are not
+    wildly off on the surfaced pairs."""
+    from sparklink import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    truth = _exact_shingle_jaccard(rows)
+    true_pairs = {p for p, j in truth.items() if j >= 0.7}
+    assert len(true_pairs) >= 10, "fixture must contain real near-dups"
+
+    cand = dedup.minhash_lsh_pairs(docs, k=32, bands=8, hash_mode="xxhash").collect()
+    cand_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.est_jaccard for r in cand}
+    recall = len(true_pairs & set(cand_pairs)) / len(true_pairs)
+    assert recall >= 0.9, f"production minhash candidate recall {recall:.2f} < 0.9"
+    # estimate sanity on surfaced true pairs: |est - exact| bounded
+    errs = [abs(cand_pairs[p] - truth[p]) for p in true_pairs & set(cand_pairs)]
+    assert sum(errs) / len(errs) < 0.15, f"mean |est-exact| {sum(errs)/len(errs):.3f}"
+
+
+def test_xxhash_simhash_blocking_complete(spark):
+    """Production simhash path: the operator's contract is hamming-based
+    (NOT Jaccard — near-identical char-shingle docs can still differ in a
+    few tokens and land past hamming 3). Verify the pigeonhole blocking
+    is COMPLETE: every pair whose exact 64-bit simhash hamming distance
+    is <= max_hamming=3 must be surfaced (a pair within hamming 3 must
+    agree on >= 1 of the 4 16-bit chunks), with the exact hamming value."""
+    from sparklink import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sims = {r.doc_id: r.simhash for r in dedup.simhash(docs, hash_mode="xxhash").collect()}
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert len(want) >= 10, "fixture must contain simhash near-dups"
+    cand = dedup.simhash_near_pairs(docs, max_hamming=3, hash_mode="xxhash").collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.hamming for r in cand}
+    assert got == want, f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+
+
+# ---------------------------------------------------------------------------
+# Oversized-component skips are logged to the metrics table (r2 VERDICT #8)
+# ---------------------------------------------------------------------------
+
+
+def test_oversized_component_skip_logged(spark, tmp_path, fixture_dfs):
+    from sparklink.checkpoints import Catalog
+    from sparklink.pipeline import SparkDedupe
+
+    transcripts, _, labeled = fixture_dfs
+    cat = Catalog(spark, str(tmp_path / "wh_big"))
+    # max_component=3: the fixture's true clusters (4-6 members) exceed it,
+    # so refinement must skip them AND say so in _metrics.jsonl
+    dd = SparkDedupe(catalog=cat, max_component=3)
+    records = dd.canonical_records(transcripts)
+    dd.fit(records, labeled)
+    dd.partition(transcripts)
+    skips = [m for m in cat.metrics() if m.get("event") == "oversized_skipped"]
+    assert skips, "no oversized_skipped metric logged"
+    assert skips[0]["count"] >= 1 and skips[0]["max_size"] > 3
