@@ -144,3 +144,21 @@ def learn_predicates(
         "per_predicate_cost": costs,
     }
     return selected, report
+
+
+def most_uncertain(scored_pairs: DataFrame, n: int = 10) -> DataFrame:
+    """The n candidate pairs the current model is LEAST sure about —
+    uncertainty sampling, the heart of the reference's console_label
+    active-learning loop (csv_example/csv_example.py:130 [lib]: dedupe
+    surfaces the pair whose match probability is closest to 0.5 for the
+    human to label). Batch-incremental workflow: score a sample, label
+    these n pairs, append to the labeled set, refit.
+
+    Deterministic: |score - 0.5| asc with (id_a, id_b) tiebreaks; a single
+    TakeOrderedAndProject — no full sort of the scored frame."""
+    return (
+        scored_pairs.select("id_a", "id_b", "score")
+        .withColumn("uncertainty", F.abs(F.col("score") - 0.5))
+        .orderBy(F.asc("uncertainty"), F.asc("id_a"), F.asc("id_b"))
+        .limit(n)
+    )

@@ -423,3 +423,102 @@ def test_oversized_component_skip_logged(spark, tmp_path, fixture_dfs):
     skips = [m for m in cat.metrics() if m.get("event") == "oversized_skipped"]
     assert skips, "no oversized_skipped metric logged"
     assert skips[0]["count"] >= 1 and skips[0]["max_size"] > 3
+
+
+# ---------------------------------------------------------------------------
+# Learned name/address component weights + street normalization (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_street_type_and_directional_normalization(spark):
+    from sparklink.score import FieldModel, Variable
+
+    pairs = spark.createDataFrame(
+        [
+            ("123 Main St", "123 Main Street"),
+            ("9 N Oak Ave.", "9 North Oak Avenue"),
+            ("77 Sunset Blvd Apt 2", "77 Sunset Boulevard unit 2"),
+        ],
+        "addr_a string, addr_b string",
+    )
+    m = FieldModel(variables=[Variable("addr", "address", has_missing=False)])
+    d = m.distance_frame(pairs).toPandas()
+    # abbreviation vs expansion must be a PERFECT street match
+    assert (d["d_address_addr__street"] > 0.999).all(), d["d_address_addr__street"].tolist()
+    assert (d["d_address_addr__number"] == 1.0).all()
+
+
+def test_name_suffix_stripped(spark):
+    from sparklink.score import FieldModel, Variable
+
+    pairs = spark.createDataFrame(
+        [("JOHN SMITH JR", "SMITH, JOHN"), ("MARY DOE III", "DOE, MARY")],
+        "name_a string, name_b string",
+    )
+    m = FieldModel(variables=[Variable("name", "name", has_missing=False)])
+    d = m.distance_frame(pairs).toPandas()
+    assert (d["d_name_name__first"] > 0.999).all()
+    assert (d["d_name_name__last"] > 0.999).all()
+
+
+def test_learned_component_weights_beat_fixed_blend(spark):
+    """Officers-shaped fixture where the 0.35/0.55/0.10 blend INVERTS the
+    ranking (a match with a street typo scores below a non-match that
+    shares number+unit by coincidence) while per-component LR separates
+    perfectly — the reason components are separate features."""
+    from sparklink.score import FieldModel, Variable
+
+    rows = [
+        # label=1: same street (slight typo), different number/unit
+        ("101 Maple Road", "105 Marple Road Apt 9", 1),
+        ("22 Birch Lane Apt 3", "28 Birch Lne", 1),
+        ("7 Cedar Court", "9 Cedar Cuort Apt 1", 1),
+        ("444 Spruce Drive Apt 5", "441 Spruce Drve", 1),
+        # label=0: same number+unit by coincidence, unrelated street
+        ("63 Willow Street Apt 2", "63 Kingsway Apt 2", 0),
+        ("17 Harbor View", "17 Quarry Hill", 0),
+        ("85 Sunset Parkway Apt 4", "85 Northgate Apt 4", 0),
+        ("30 Old Mill Road", "30 New Farm Terrace", 0),
+    ]
+    pairs = spark.createDataFrame(rows, "addr_a string, addr_b string, label int")
+    m = FieldModel(variables=[Variable("addr", "address", has_missing=False)])
+    feats = m.distance_frame(pairs).select("label", m.variables[0].dist_col, *m.feature_cols()).toPandas()
+
+    blend = feats[m.variables[0].dist_col]
+    worst_match = blend[feats["label"] == 1].min()
+    best_non = blend[feats["label"] == 0].max()
+    assert worst_match < best_non, "fixture must invert the fixed blend's ranking"
+
+    m.fit(feats, iters=2000, lr=1.0)
+    p = m.predict_proba(feats)
+    assert p[feats["label"] == 1].min() > p[feats["label"] == 0].max(), (
+        "learned component weights must rank all matches above all non-matches"
+    )
+    # street must carry the dominant learned weight
+    w = dict(zip(m.feature_cols(), m.weights))
+    assert w["d_address_addr__street"] > w["d_address_addr__number"]
+    assert w["d_address_addr__street"] > w["d_address_addr__unit"]
+
+    # JSON roundtrip preserves the component feature layout
+    m2 = FieldModel.from_json(m.to_json())
+    assert m2.feature_cols() == m.feature_cols()
+    np.testing.assert_allclose(m2.weights, m.weights)
+
+
+# ---------------------------------------------------------------------------
+# Active-learning uncertainty sampling (r2 VERDICT "What's missing" #4)
+# ---------------------------------------------------------------------------
+
+
+def test_most_uncertain_orders_by_distance_from_half(spark):
+    from sparklink.learn import most_uncertain
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.97), ("a", "c", 0.51), ("b", "c", 0.08), ("c", "d", 0.49), ("a", "d", 0.5)],
+        "id_a string, id_b string, score double",
+    )
+    got = most_uncertain(scored, n=3).toPandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [("a", "d"), ("a", "c"), ("c", "d")]
+    # plan shape: a top-k, not a global sort
+    plan = most_uncertain(scored, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
