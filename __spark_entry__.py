@@ -7,7 +7,7 @@ entry(spark)  — flagship: full entity-resolution pipeline (canonicalize ->
                 csv_example/csv_example.py:94-97).
 queries()     — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); see sparklink/queries.py.
-oracle_sql()  — DuckDB-equivalent SQL for EVERY query (33/33): minhash /
+oracle_sql()  — DuckDB-equivalent SQL for EVERY query: minhash /
                 simhash / winnowing run with the engine-portable hash
                 (sparklink/portable.py), ANN LSH/IVF use deterministic
                 data-derived planes/centroids, multimodal derives its

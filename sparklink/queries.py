@@ -234,6 +234,46 @@ def er_pair_scores(spark, sf_dir):
 
 
 @q(
+    "er_most_uncertain",
+    DUCK_BLOCKKEYS_CTE
+    + f""",
+pairs AS (
+    SELECT DISTINCT l.record_id AS id_a, r.record_id AS id_b
+    FROM bk l JOIN bk r USING (block_key)
+    WHERE l.record_id < r.record_id
+),
+feat AS (SELECT conv_id, list_distinct({DUCK_TOKENS.format(c="conv_text")}) AS tokset, n_turns FROM records),
+sc AS (
+    SELECT p.id_a, p.id_b,
+           round(1.0 / (1.0 + exp(-(3.0 * coalesce(round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / nullif(len(list_distinct(a.tokset || b.tokset)), 0), 6), 0.0)
+                 + 0.75 * CAST(a.n_turns = b.n_turns AS INTEGER) - 2.0))), 6) AS score
+    FROM pairs p JOIN feat a ON p.id_a = a.conv_id JOIN feat b ON p.id_b = b.conv_id
+)
+SELECT id_a, id_b, score, round(abs(score - 0.5), 6) AS uncertainty FROM sc
+ORDER BY abs(score - 0.5) ASC, id_a ASC, id_b ASC LIMIT 10
+""",
+)
+def er_most_uncertain(spark, sf_dir):
+    """Active-learning uncertainty sampling (learn.most_uncertain — the
+    console_label surface, csv_example/csv_example.py:130 [lib]) over the
+    SQL-expressible scorer slice: a fixed-weight LR on (token_jaccard,
+    same_turns) picks the 10 pairs closest to P=0.5. Score rounded to 6dp
+    BEFORE ranking so the DuckDB oracle reproduces the top-k exactly."""
+    from sparklink.learn import most_uncertain
+
+    sp = er_pair_scores(spark, sf_dir)
+    z = (
+        F.lit(3.0) * F.coalesce(F.col("token_jaccard"), F.lit(0.0))
+        + F.lit(0.75) * F.col("same_turns")
+        - F.lit(2.0)
+    )
+    scored = sp.select("id_a", "id_b", F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("score"))
+    u = most_uncertain(scored, n=10)
+    return u.select("id_a", "id_b", "score", F.round("uncertainty", 6).alias("uncertainty"))
+
+
+@q(
     "er_exact_entity_map",
     DUCK_RECORDS_CTE
     + """
