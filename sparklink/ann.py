@@ -11,14 +11,14 @@
                      seed + Lloyd iterations as DataFrame jobs; probe
                      nearest n_probe cells.
 
-Hyperplanes are deterministic (seeded numpy). Centroids travel as DATA —
-a broadcast one-row centroid-matrix DataFrame (method='expr', exact
-fold-arithmetic parity with the SQL oracle) or an sc.broadcast numpy
-matrix inside a vectorized pandas UDF (method='pandas', the production
-path: BLAS assignment, constant plan size at any n_cells x dim). Neither
-embeds centroids as plan literals, so plan size is independent of the
-codebook (r2 VERDICT scale-killer: n_cells=4k x dim=768 as nested-CASE
-literals was a multi-million-literal plan).
+Hyperplanes and centroids both travel as DATA, never plan literals —
+broadcast one-row matrix DataFrames (_planes_df/_centroid_matrix_df;
+exact fold-arithmetic parity with the SQL oracle) or, for centroid
+assignment at production codebooks, an sc.broadcast numpy matrix inside
+a vectorized pandas UDF (method='pandas': BLAS matmul). Plan size is
+independent of n_planes/n_cells x dim (r2 VERDICT scale-killer:
+n_cells=4k x dim=768 as nested-CASE literals was a multi-million-literal
+plan that died in codegen).
 """
 
 from __future__ import annotations
@@ -68,20 +68,56 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 5) -> np.ndarray:
     return h / np.linalg.norm(h, axis=1, keepdims=True)
 
 
-def _bucket_expr(unit_col, planes):
-    # sign(dot) is invariant to plane normalization, so raw data-derived
-    # planes work; dot rounded to 6dp before the sign test so an oracle
-    # engine computing the same double arithmetic lands on the same bucket
-    bits = [
-        F.when(F.round(_dot(unit_col, F.array(*[F.lit(float(x)) for x in p])), 6) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        for i, p in enumerate(planes)
+def _planes_df(spark, planes, bands: int | None = None) -> DataFrame:
+    """Hyperplanes as a ONE-ROW DataFrame (same codebook-as-data pattern
+    as _centroid_matrix_df): pmat = array<struct<band, bit, pv>> with the
+    band index and in-band bit VALUE precomputed driver-side (PySpark's
+    shiftleft wants a literal shift). Broadcast-joined, plan size is O(1)
+    in n_planes x dim — production near-dup configs (64+ planes, dim 768)
+    never inline the planes as literals."""
+    n = len(planes)
+    assert n <= 62, "bit-packed bucket keys support at most 62 planes"
+    r = n if bands is None else n // bands
+    data = [
+        [(int(i // r), int(1 << (i % r)), [float(x) for x in p]) for i, p in enumerate(planes)]
     ]
-    b = bits[0]
-    for x in bits[1:]:
-        b = b + x
-    return b
+    return spark.createDataFrame(
+        [(d,) for d in data], "pmat array<struct<band:int,bit:bigint,pv:array<double>>>"
+    )
+
+
+def _with_buckets(df: DataFrame, unit_col: str, planes, bands: int | None = None, out_col: str = "bucket"):
+    """+ bucket (bands=None: one packed sign-bit key) or + bk exploded per
+    band (bands=k: 'b<band>:<bits>' keys). sign(dot) is invariant to plane
+    normalization, so raw data-derived planes work; dot rounded to 6dp
+    before the sign test so an oracle engine computing the same double
+    arithmetic lands on the same bucket."""
+    j = df.join(F.broadcast(_planes_df(df.sparkSession, planes, bands)))
+    bits = F.transform(
+        F.col("pmat"),
+        lambda s: F.struct(
+            s["band"].alias("band"),
+            F.when(F.round(_dot(F.col(unit_col), s["pv"]), 6) >= 0, s["bit"]).otherwise(F.lit(0).cast("bigint")).alias("v"),
+        ),
+    )
+    if bands is None:
+        packed = F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, s: a + s["v"])
+        return j.withColumn(out_col, packed).drop("pmat")
+    j = j.withColumn("_bits", bits).drop("pmat")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            F.lit("b"),
+            b.cast("string"),
+            F.lit(":"),
+            F.aggregate(
+                F.filter(F.col("_bits"), lambda s: s["band"] == b),
+                F.lit(0).cast("bigint"),
+                lambda a, s: a + s["v"],
+            ).cast("string"),
+        ),
+    )
+    return j.withColumn(out_col, F.explode(keys)).drop("_bits")
 
 
 def data_planes(corpus: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> list:
@@ -120,9 +156,9 @@ def lsh_topk(
     if planes is None:
         planes = _hyperplanes(dim, n_planes, seed)
     c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
-    c = c.withColumn("bucket", _bucket_expr(F.col("cu"), planes))
+    c = _with_buckets(c, "cu", planes)
     q = with_unit_vectors(queries, vec_col).select(F.col(query_id_col), F.col("unit").alias("qu"))
-    q = q.withColumn("bucket", _bucket_expr(F.col("qu"), planes))
+    q = _with_buckets(q, "qu", planes)
     scored = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(query_id_col)).select(
         query_id_col, id_col, F.round(_dot(F.col("cu"), F.col("qu")), 6).alias("cos")
     )
@@ -147,16 +183,8 @@ def cosine_neardup_pairs(
     The 100 TB shape: per-band equi-joins on small buckets, never
     all-pairs; oversize buckets dropped like blocking.cap_block_sizes.
     Returns (id_a, id_b, cos)."""
-    r = len(planes) // bands
     c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
-    band_keys = []
-    for b in range(bands):
-        bits = None
-        for j, p in enumerate(planes[b * r : (b + 1) * r]):
-            bit = F.when(F.round(_dot(F.col("cu"), F.array(*[F.lit(float(x)) for x in p])), 6) >= 0, 1 << j).otherwise(0)
-            bits = bit if bits is None else bits + bit
-        band_keys.append(F.concat(F.lit(f"b{b}:"), bits.cast("string")))
-    bm = c.select(id_col, "cu", F.explode(F.array(*band_keys)).alias("bk"))
+    bm = _with_buckets(c, "cu", planes, bands=bands, out_col="bk").select(id_col, "cu", "bk")
     oversized = bm.groupBy("bk").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket).select("bk")
     bm = bm.join(F.broadcast(oversized), "bk", "left_anti")
     l = bm.select("bk", F.col(id_col).alias("id_a"), F.col("cu").alias("ua"))
