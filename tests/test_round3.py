@@ -123,6 +123,68 @@ def test_ivf_topk_pandas_matches_expr(spark):
         a.sort_values(key).reset_index(drop=True), b.sort_values(key).reset_index(drop=True)
     )
 
+
+# ---------------------------------------------------------------------------
+# LSH hyperplanes as broadcast data, not plan literals (r3: same scale
+# fix as IVF centroids, applied to lsh_topk / cosine_neardup_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_keys_match_numpy(spark):
+    """_with_buckets packed + banded keys vs a numpy sign-bit reference on
+    the same unit vectors (band b owns planes [b*r, (b+1)*r), bit j of a
+    band is plane b*r+j)."""
+    from sparklink.ann import _hyperplanes, _with_buckets, with_unit_vectors
+
+    dim, n_planes, bands = 16, 12, 3
+    planes = _hyperplanes(dim, n_planes, seed=21)
+    emb = _rand_emb(spark, 40, dim, seed=22)
+    u = with_unit_vectors(emb).select("vec_id", F.col("unit").alias("cu"))
+
+    got_packed = {r.vec_id: r.bucket for r in _with_buckets(u, "cu", planes).collect()}
+    got_bands = {}
+    for r in _with_buckets(u, "cu", planes, bands=bands, out_col="bk").collect():
+        got_bands.setdefault(r.vec_id, set()).add(r.bk)
+
+    uv = {r.vec_id: np.array(r.cu, dtype=np.float64) for r in u.collect()}
+    r_per = n_planes // bands
+    for vid, vec in uv.items():
+        signs = [np.round(float(np.dot(vec, p)), 6) >= 0 for p in planes]
+        packed = sum(1 << i for i, s in enumerate(signs) if s)
+        assert got_packed[vid] == packed, f"vec {vid}: packed key mismatch"
+        want = {
+            f"b{b}:{sum(1 << j for j in range(r_per) if signs[b * r_per + j])}"
+            for b in range(bands)
+        }
+        assert got_bands[vid] == want, f"vec {vid}: band keys mismatch"
+
+
+def test_lsh_production_planes_plan_size(spark):
+    """62 planes x dim 512 (a production near-dup config): lsh_topk and
+    cosine_neardup_pairs must build constant-size plans — pre-r3 code
+    inlined every plane component as a Column literal (O(n_planes*dim)
+    literals per band expression)."""
+    from sparklink.ann import _hyperplanes, cosine_neardup_pairs, lsh_topk
+
+    dim = 512
+    planes = _hyperplanes(dim, 62, seed=5)
+    emb = _rand_emb(spark, 300, dim, seed=13)
+    qs = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    t0 = time.time()
+    top = lsh_topk(emb, qs, k=3, dim=dim, planes=planes)
+    plan = top._jdf.queryExecution().toString()
+    top.count()
+    assert len(plan) < 200_000, f"lsh_topk plan {len(plan)} chars — planes leaked into the plan"
+
+    nd = cosine_neardup_pairs(emb, threshold=0.8, planes=list(planes), bands=31, max_bucket=50)
+    plan_nd = nd._jdf.queryExecution().toString()
+    nd.count()
+    dt = time.time() - t0
+    assert len(plan_nd) < 200_000, f"neardup plan {len(plan_nd)} chars — planes leaked into the plan"
+    assert dt < 120, f"production-plane LSH took {dt:.0f}s"
+
+
 # ---------------------------------------------------------------------------
 # sparse_dot in-row hash-collision hardening (r2 VERDICT #3)
 # ---------------------------------------------------------------------------
