@@ -3,6 +3,7 @@
 Usage (cluster):
     bash tools/build_pyfiles.sh                       # -> dist/sparklink.zip
     spark-submit --py-files dist/sparklink.zip \
+        --driver-memory 8g \
         --conf spark.sql.shuffle.partitions=2048 \
         sparklink/cli.py dedupe \
         --transcripts s3://.../transcripts --labeled s3://.../labeled_pairs \

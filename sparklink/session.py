@@ -25,27 +25,49 @@ def get_spark(
     - Arrow on: every scorer UDF is a vectorized pandas UDF.
     - shuffle partitions sized to cores locally; a real cluster would set
       this to ~2-3x total executor cores via spark-submit conf.
+    - under ``spark-submit`` (gateway env present) submit-provided conf
+      wins: defaults are only applied for keys the user did NOT pass, the
+      submit ``--master`` is respected, and spark.driver.memory is left
+      alone (the driver JVM already exists — a builder conf could not
+      change it anyway; size it with ``spark-submit --driver-memory``).
+    Explicit arguments (master / shuffle_partitions / extra_conf) always win.
     """
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    preset: dict[str, str] = {}
+    if under_submit:
+        from pyspark import SparkConf
+
+        preset = dict(SparkConf(loadDefaults=True).getAll())
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not under_submit:
+        master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_explicit = shuffle_partitions is not None
     if shuffle_partitions is None:
-        if master.startswith("local["):
-            inner = master[len("local[") : -1]
+        heuristic_master = master or preset.get("spark.master", "")
+        if heuristic_master.startswith("local["):
+            inner = heuristic_master[len("local[") : -1]
             shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
         else:
             shuffle_partitions = 200
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    )
+    defaults = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if not under_submit:
+        defaults["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in defaults.items():
+        if k in preset and not (k == "spark.sql.shuffle.partitions" and shuffle_explicit):
+            continue
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
