@@ -76,8 +76,13 @@ def _planes_df(spark, planes, bands: int | None = None) -> DataFrame:
     in n_planes x dim — production near-dup configs (64+ planes, dim 768)
     never inline the planes as literals."""
     n = len(planes)
-    assert n <= 62, "bit-packed bucket keys support at most 62 planes"
+    if bands is not None:
+        assert n % bands == 0, f"{n} planes do not split into {bands} equal bands"
     r = n if bands is None else n // bands
+    # the 62-bit cap applies PER PACKED KEY: the whole signature when
+    # unbanded, only the in-band bits when banded (128 planes x 8 bands
+    # packs 16 bits per band key and is a legit production config)
+    assert r <= 62, f"bit-packed bucket keys support at most 62 planes per band (got {r})"
     data = [
         [(int(i // r), int(1 << (i % r)), [float(x) for x in p]) for i, p in enumerate(planes)]
     ]

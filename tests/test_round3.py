@@ -159,6 +159,21 @@ def test_lsh_bucket_keys_match_numpy(spark):
         assert got_bands[vid] == want, f"vec {vid}: band keys mismatch"
 
 
+def test_lsh_banded_cap_is_per_band(spark):
+    """128 planes in 8 bands packs 16 bits per band key — legal; the same
+    128 planes as ONE packed key must assert (>62 bits)."""
+    from sparklink.ann import _hyperplanes, _planes_df, cosine_neardup_pairs
+
+    planes = _hyperplanes(32, 128, seed=9)
+    emb = _rand_emb(spark, 80, 32, seed=10)
+    nd = cosine_neardup_pairs(emb, threshold=0.99, planes=list(planes), bands=8, max_bucket=50)
+    assert nd.count() >= 0  # plan builds and runs
+    with pytest.raises(AssertionError):
+        _planes_df(spark, list(planes))  # unbanded: 128 bits in one key
+    with pytest.raises(AssertionError):
+        _planes_df(spark, list(planes), bands=7)  # 128 % 7 != 0
+
+
 def test_lsh_production_planes_plan_size(spark):
     """62 planes x dim 512 (a production near-dup config): lsh_topk and
     cosine_neardup_pairs must build constant-size plans — pre-r3 code
