@@ -61,11 +61,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
-        new_labels = (
+        n1 = (
             labels.join(nbr, "id", "left")
             .select("id", F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"))
         )
-        new_labels = ckpt(new_labels)
+        # pointer-jumping (label[v] <- label[label[v]], O(log d) rounds to
+        # fixpoint) fused into the SAME plan: the lookup branch recomputes
+        # the propagate join instead of materializing it, trading ~0.5x of
+        # one edge-join for a whole checkpoint job per round — one
+        # materialization per iteration instead of two
+        jumped = (
+            n1.alias("a")
+            .join(n1.select(F.col("id").alias("label"), F.col("label").alias("label2")).alias("b"), "label", "left")
+            .select("id", F.least(F.col("label"), F.coalesce(F.col("label2"), F.col("label"))).alias("label"))
+        )
+        new_labels = ckpt(jumped)
+        # convergence: a full propagate+jump round changed nothing (cheap —
+        # joins two checkpointed label frames, short-circuits at one row)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -73,14 +85,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
             .limit(1)
             .count()
         )
-        # pointer-jumping: also propagate through current labels
-        # (label[v] <- label[label[v]]) to reach fixpoint in O(log d) rounds
-        jumped = (
-            new_labels.alias("a")
-            .join(new_labels.select(F.col("id").alias("label"), F.col("label").alias("label2")).alias("b"), "label", "left")
-            .select("id", F.least(F.col("label"), F.coalesce(F.col("label2"), F.col("label"))).alias("label"))
-        )
-        labels = ckpt(jumped)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id").alias("record_id"), F.col("label").alias("component"))
