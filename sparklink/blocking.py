@@ -148,6 +148,32 @@ def build_blocking_map(records: DataFrame, predicates: list[Predicate], id_col: 
     )
 
 
+def blocking_stats(blocking_map: DataFrame, key_col: str = "block_key", id_col: str = "record_id") -> DataFrame:
+    """Per-predicate blocking report: how many keys each predicate emits,
+    how many (key, record) entries, the largest block, and the candidate
+    pairs the predicate implies (sum over blocks of n*(n-1)/2) — the
+    numbers a user reads before letting a predicate loose on 100 TB (the
+    reference tunes predicates by eyeballing exactly these counts on the
+    blocking_map table, mysql_example/mysql_example.py:190-234).
+
+    Predicate = the namespace prefix ``build_blocking_map`` bakes into
+    every key (``<pid>:<value>``). Two map-side-combining aggregations
+    (per key, then per namespace) — no driver-side state at any scale;
+    pair counts use integer arithmetic (n DIV 2 after n*(n-1)) so they
+    stay exact past 2^53 where doubles would drift."""
+    per_key = blocking_map.groupBy(key_col).agg(F.count(id_col).alias("n"))
+    return (
+        per_key.withColumn("predicate", F.split_part(F.col(key_col), F.lit(":"), F.lit(1)))
+        .groupBy("predicate")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n").alias("n_entries"),
+            F.max("n").alias("max_block"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_candidate_pairs"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Shared token-stats frame: canopy keys, minhash band keys, and the
 # scorer's tf-idf vectors all derive from ONE token explode + aggregation

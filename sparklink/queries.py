@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sparklink import ann, dedup, textops
 from sparklink.blocking import (
     Predicate,
+    blocking_stats,
     build_blocking_map,
     common_integers,
     first_n_chars,
@@ -174,6 +175,29 @@ def er_block_keys(spark, sf_dir):
     """Predicate blocking: fingerprinter -> (block_key, record_id)
     (mysql_example/mysql_example.py:217-224)."""
     return build_blocking_map(er_records(spark, sf_dir), ER_PREDICATES)
+
+
+@q(
+    "er_blocking_stats",
+    DUCK_BLOCKKEYS_CTE
+    + """,
+per_key AS (
+    SELECT split_part(block_key, ':', 1) AS predicate, block_key, count(*) AS n
+    FROM bk GROUP BY 1, 2
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_entries,
+       CAST(max(n) AS BIGINT) AS max_block,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM per_key GROUP BY predicate
+""",
+)
+def er_blocking_stats(spark, sf_dir):
+    """Per-predicate blocking report (key/entry/max-block/implied-pair
+    counts) — the tuning numbers the reference reads off its blocking_map
+    table (mysql_example/mysql_example.py:190-234)."""
+    return blocking_stats(er_block_keys(spark, sf_dir))
 
 
 @q(

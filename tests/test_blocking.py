@@ -57,6 +57,20 @@ def test_salt_block_sizes_preserves_membership(spark):
     assert set(pdf[pdf.block_key == "cold"].record_id) == {"a", "b"}
 
 
+def test_blocking_stats_hand_computed(spark):
+    rows = [
+        ("tk:a", "r1"), ("tk:a", "r2"), ("tk:a", "r3"),  # one 3-block -> 3 pairs
+        ("tk:b", "r4"),                                   # singleton -> 0 pairs
+        ("p4:x", "r1"), ("p4:x", "r2"), ("p4:y", "r3"), ("p4:y", "r4"),  # two 2-blocks -> 2 pairs
+    ]
+    bm = spark.createDataFrame(rows, "block_key string, record_id string")
+    stats = {r.predicate: r for r in B.blocking_stats(bm).collect()}
+    assert set(stats) == {"tk", "p4"}
+    tk, p4 = stats["tk"], stats["p4"]
+    assert (tk.n_keys, tk.n_entries, tk.max_block, tk.n_candidate_pairs) == (2, 4, 3, 3)
+    assert (p4.n_keys, p4.n_entries, p4.max_block, p4.n_candidate_pairs) == (2, 4, 2, 2)
+
+
 def test_candidate_pairs_ordering_and_distinct(spark):
     bm = spark.createDataFrame(
         [("k1", "b"), ("k1", "a"), ("k2", "a"), ("k2", "b"), ("k2", "c")],
