@@ -124,6 +124,28 @@ def cmd_gazetteer(args) -> None:
     print(json.dumps({"matched": matches.count(), "unmatched": unmatched.count()}))
 
 
+def cmd_match_new(args) -> None:
+    """Incremental daily-ingest: assign a delta batch of transcripts
+    against an existing entity map (SparkDedupe.match_new) and write the
+    delta map; the existing map is untouched."""
+    from sparklink.canonicalize import canonicalize
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.sinks import write_parquet
+
+    spark = _spark(args)
+    model, threshold = _load_model(args.model)
+    dd = SparkDedupe(model=model)
+    if threshold:
+        dd.threshold = threshold
+    new_t = spark.read.parquet(args.transcripts_new)
+    existing_records = canonicalize(spark.read.parquet(args.transcripts_existing))
+    em_existing = spark.read.parquet(args.entity_map)
+    delta = dd.match_new(new_t, existing_records, em_existing)
+    write_parquet(delta, args.out)
+    # count the landed parquet, not the plan (no re-execution)
+    print(json.dumps({"delta_rows": spark.read.parquet(args.out).count()}))
+
+
 def cmd_synth(args) -> None:
     from sparklink.synth import write_fixture
 
@@ -158,6 +180,13 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--out", required=True)
     g.add_argument("--unmatched-out")
 
+    mn = sub.add_parser("match-new")
+    mn.add_argument("--transcripts-new", required=True)
+    mn.add_argument("--transcripts-existing", required=True)
+    mn.add_argument("--entity-map", required=True)
+    mn.add_argument("--model")
+    mn.add_argument("--out", required=True)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--entities", type=int, default=300)
@@ -165,7 +194,13 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--two-sources", action="store_true")
 
     args = p.parse_args(argv)
-    {"dedupe": cmd_dedupe, "link": cmd_link, "gazetteer": cmd_gazetteer, "synth": cmd_synth}[args.cmd](args)
+    {
+        "dedupe": cmd_dedupe,
+        "link": cmd_link,
+        "gazetteer": cmd_gazetteer,
+        "match-new": cmd_match_new,
+        "synth": cmd_synth,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -420,11 +420,15 @@ def tfidf_token_arrays_from_stats(
         ),
     )
     norm = F.sqrt(F.aggregate("hw", F.lit(0.0), lambda acc, s: acc + s["w"] * s["w"]))
+    # norm can be 0 with a NON-empty hw: a record whose every token has
+    # df == n_docs gets idf 0 for all of them (common in tiny corpora,
+    # possible at any scale) — 0/0 is fatal under ANSI; emit 0-weights
     agg = agg.withColumn("norm", norm)
+    safe_w = lambda s: F.when(F.col("norm") > 0, s["w"] / F.col("norm")).otherwise(F.lit(0.0))  # noqa: E731
     return agg.select(
         "record_id",
         F.transform("hw", lambda s: s["h"]).alias("tfh"),
-        F.transform("hw", lambda s: (s["w"] / F.col("norm")).cast("float")).alias("tfw"),
+        F.transform("hw", lambda s: safe_w(s).cast("float")).alias("tfw"),
     )
 
 

@@ -313,3 +313,77 @@ class SparkDedupe:
                 on_oversized=on_oversized,
             ),
         )
+
+    def match_new(
+        self,
+        transcripts_new: DataFrame,
+        existing_records: DataFrame,
+        entity_map_existing: DataFrame,
+        threshold: float | None = None,
+    ) -> DataFrame:
+        """Incremental dedupe: assign a batch of NEW transcripts against an
+        already-partitioned corpus WITHOUT re-running the quadratic
+        pipeline over old+new — the daily-ingest operation the reference
+        runs through its indexed gazetteer (gazetteer_postgres_example.py:
+        285-345: search new rows against indexed_records, UPDATE matches,
+        INSERT the rest). Cost is O(new x blocked-existing), not
+        O((old+new)^2).
+
+        Three-way split: (1) new records whose best gazetteer match in the
+        existing corpus clears the threshold inherit that record's
+        canon_id; (2) the remaining new records are deduped among
+        THEMSELVES with the full fused pipeline (new entities appearing
+        more than once in one batch still cluster); (3) nothing about the
+        existing entity_map changes. Returns the entity-map DELTA for the
+        new records — (record_id, canon_id, cluster_score) — to union/MERGE
+        onto the existing map.
+
+        Known approximation (documented, inherent to incremental ER): a
+        chain new-B ~ new-A ~ existing-X where only A clears the gazetteer
+        threshold lands B in a new batch cluster rather than X's; a
+        periodic full ``partition`` re-consolidates."""
+        from sparklink.linkage import SparkGazetteer
+
+        t = self.threshold if threshold is None else threshold
+        new_records = canonicalize(transcripts_new)
+        gaz = SparkGazetteer(
+            model=self.model,
+            predicates=self.predicates,
+            threshold=t,
+            max_block_size=self.max_block_size,
+        )
+        gaz.index(existing_records)
+        # TRUNCATE lineage at the triage boundary (localCheckpoint, not
+        # persist): the gazetteer-match subtree is referenced by the
+        # assigned branch AND — via the anti-join — by every self-reference
+        # of the in-batch pipeline (hydrate x2, tf-idf, CC edges,
+        # confidence joins). persist() caches rows but keeps the full
+        # logical plan, so those references duplicate the whole subtree and
+        # the analyzed plan grows combinatorially — Catalyst plan
+        # canonicalization alone was measured burning minutes of driver CPU
+        # on a 5-record batch. Plan size, not data size, is the hazard;
+        # production daily-ingest would read these from catalog tables.
+        matches = gaz.match(new_records).localCheckpoint(eager=True)
+        em = entity_map_existing.select(F.col("record_id").alias("canonical_id"), "canon_id")
+        assigned = matches.join(em, "canonical_id").select(
+            F.col("messy_id").alias("record_id"), "canon_id", F.col("score").alias("cluster_score")
+        )
+        unmatched_ids = new_records.join(
+            matches.select(F.col("messy_id").alias("conv_id")), "conv_id", "left_anti"
+        ).select("conv_id")
+        batch = SparkDedupe(
+            model=self.model,
+            predicates=self.predicates,
+            use_canopy=self.use_canopy,
+            use_minhash=self.use_minhash,
+            max_block_size=self.max_block_size,
+            threshold=t,
+            refine=self.refine,
+            max_component=self.max_component,
+        )
+        # truncate the unmatched slice too: the fused pipeline references
+        # its input many times over
+        sub = transcripts_new.join(unmatched_ids, "conv_id").localCheckpoint(eager=True)
+        em_batch = batch.partition(sub)
+        gaz.unindex()
+        return assigned.unionByName(em_batch)
