@@ -26,7 +26,9 @@ def _spark_submit() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-def _run(cmd: list[str], cwd: str, env: dict, timeout: int = 540) -> dict:
+def _run(cmd: list[str], cwd: str, env: dict, timeout: int = 900) -> dict:
+    # generous timeout: the sandbox intermittently delivers < 1 effective
+    # core (BENCH.md host-ceiling caveat) and each step is a cold JVM
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, f"spark-submit failed:\n{r.stderr[-4000:]}"
     return json.loads(r.stdout.strip().splitlines()[-1])
@@ -72,7 +74,7 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
 
     data = tmp_path / "data"
     paths = _run(
-        base + ["synth", "--out", str(data), "--entities", "60", "--seed", "7"],
+        base + ["synth", "--out", str(data), "--entities", "40", "--seed", "7"],
         cwd=str(tmp_path),
         env=env,
     )
