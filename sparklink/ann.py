@@ -236,12 +236,29 @@ def _np_unit_matrix(u: pd.Series, dim: int) -> np.ndarray:
     return np.stack([np.asarray(x, dtype=np.float64) for x in u])
 
 
+# method='auto' switches from the oracle-parity JVM fold to the BLAS
+# pandas UDF once the codebook work per row (n_cells * dim interpreted
+# HOF steps) crosses this; 256x256 = 65536 lands on the pandas side.
+_AUTO_PANDAS_CELLS_X_DIM = 32768
+
+
+def _resolve_method(method: str, cents: np.ndarray) -> str:
+    """'auto' -> 'pandas' for production-size codebooks, 'expr' for small
+    ones (exact oracle parity); explicit 'expr'/'pandas' pass through so
+    callers that need a specific arithmetic path keep it."""
+    if method != "auto":
+        return method
+    c = np.asarray(cents)
+    return "pandas" if c.shape[0] * c.shape[1] >= _AUTO_PANDAS_CELLS_X_DIM else "expr"
+
+
 def assign_cells(
-    df: DataFrame, cents: np.ndarray, unit_col: str = "unit", out_col: str = "cell", method: str = "expr"
+    df: DataFrame, cents: np.ndarray, unit_col: str = "unit", out_col: str = "cell", method: str = "auto"
 ) -> DataFrame:
     """+ ``out_col`` = argmax-cosine centroid cell (rounded to 6dp, lowest
     cell index on ties — deterministic, replicable by a SQL oracle's
-    row_number ORDER BY d DESC, cell ASC).
+    row_number ORDER BY d DESC, cell ASC). method='auto' resolves by
+    codebook size (_resolve_method).
 
     method='expr': broadcast one-row centroid-matrix join + JVM fold —
     exact arithmetic parity with the DuckDB oracle; right up to moderate
@@ -250,6 +267,7 @@ def assign_cells(
     — the production path for n_cells >= 1k (float64 matmul then the same
     6dp round + first-max tiebreak; differs from 'expr' only if a dot sits
     within ~1e-15 of a 0.5e-6 rounding boundary)."""
+    method = _resolve_method(method, cents)
     if method == "pandas":
         bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
 
@@ -278,10 +296,12 @@ def rank_cells(
     unit_col: str = "unit",
     out_col: str = "cells",
     n_probe: int = 4,
-    method: str = "expr",
+    method: str = "auto",
 ) -> DataFrame:
     """+ ``out_col`` = array of the n_probe nearest centroid cells
-    (d desc, cell asc). Same two methods as assign_cells."""
+    (d desc, cell asc). Same methods as assign_cells ('auto' resolves by
+    codebook size)."""
+    method = _resolve_method(method, cents)
     if method == "pandas":
         bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
 
@@ -309,7 +329,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 11,
     id_col: str = "vec_id",
-    method: str = "expr",
+    method: str = "auto",
 ) -> np.ndarray:
     """Lloyd iterations as DataFrame jobs: assign = argmax cosine against
     the broadcast codebook (assign_cells — data, never plan literals),
@@ -358,7 +378,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    method: str = "expr",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF probe: corpus partitioned by nearest centroid; each query scans
     only its n_probe nearest cells. Centroids travel as broadcast data

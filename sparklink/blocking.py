@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparklink.preprocess import tokens
+from sparklink.util import widen_to_parallelism
 
 # --------------------------------------------------------------------------
 # Predicate catalog (dedupe predicates.py family, re-expressed as Columns)
@@ -194,8 +195,7 @@ def token_stats(records: DataFrame, column: str, id_col: str = "conv_id") -> tup
     for any caller whose column is not pre-lowercased (r2 ADVICE — the
     pipeline's conv_text happens to be lowered by clean_text, which masked
     this for other callers). Idempotent on already-lowered input."""
-    sc = records.sparkSession.sparkContext
-    recs = records.repartition(sc.defaultParallelism)
+    recs = widen_to_parallelism(records)
     toks = recs.select(F.col(id_col).alias("record_id"), tokens(F.lower(F.col(column))).alias("toks"))
     tf = (
         toks.select("record_id", F.explode("toks").alias("token"))
@@ -291,7 +291,7 @@ def tfidf_canopy_keys(
     Returns (block_key, record_id).
     """
     n_docs = records.count()
-    records = records.repartition(records.sparkSession.sparkContext.defaultParallelism)
+    records = widen_to_parallelism(records)
     tok = records.select(F.col(id_col).alias("record_id"), F.explode(F.array_distinct(tokens(F.col(column)))).alias("token"))
     df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
     df_counts = df_counts.filter((F.col("df") >= min_df) & (F.col("df") <= int(max(1, max_df_frac * n_docs))))

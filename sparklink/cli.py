@@ -46,6 +46,13 @@ def _load_model(path: str | None):
     return FieldModel.from_json(json.dumps(art)), art.get("threshold")
 
 
+def _set_threshold(obj, threshold) -> None:
+    """Apply a stored model threshold; 0.0 is a VALID threshold and must
+    not fall through to the default (falsy-zero bug, r3 ADVICE)."""
+    if threshold is not None:
+        obj.threshold = threshold
+
+
 def cmd_dedupe(args) -> None:
     from pyspark.sql import functions as F
 
@@ -57,8 +64,7 @@ def cmd_dedupe(args) -> None:
     spark = _spark(args)
     model, threshold = _load_model(args.model)
     dd = SparkDedupe(model=model, catalog=Catalog(spark, args.warehouse) if args.warehouse else None)
-    if threshold:
-        dd.threshold = threshold
+    _set_threshold(dd, threshold)
     transcripts = spark.read.parquet(args.transcripts)
     records = dd.canonical_records(transcripts)
     if model.weights is None:
@@ -86,8 +92,7 @@ def cmd_link(args) -> None:
     spark = _spark(args)
     model, threshold = _load_model(args.model)
     rl = SparkRecordLink(model=model)
-    if threshold:
-        rl.threshold = threshold
+    _set_threshold(rl, threshold)
     transcripts = spark.read.parquet(args.transcripts)
     records = rl.canonical(transcripts, extra_cols=["source"])
     if model.weights is None:
@@ -108,7 +113,7 @@ def cmd_gazetteer(args) -> None:
 
     spark = _spark(args)
     model, threshold = _load_model(args.model)
-    gaz = SparkGazetteer(model=model, threshold=threshold or 0.5)
+    gaz = SparkGazetteer(model=model, threshold=0.5 if threshold is None else threshold)
     transcripts = spark.read.parquet(args.transcripts)
     from sparklink.canonicalize import canonicalize
 
@@ -135,8 +140,7 @@ def cmd_match_new(args) -> None:
     spark = _spark(args)
     model, threshold = _load_model(args.model)
     dd = SparkDedupe(model=model)
-    if threshold:
-        dd.threshold = threshold
+    _set_threshold(dd, threshold)
     new_t = spark.read.parquet(args.transcripts_new)
     existing_records = canonicalize(spark.read.parquet(args.transcripts_existing))
     em_existing = spark.read.parquet(args.entity_map)

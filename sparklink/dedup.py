@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparklink.portable import poly_hash, poly_hash_wide
 from sparklink.preprocess import tokens
+from sparklink.util import widen_to_parallelism
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -112,8 +113,9 @@ def minhash_signatures(
     used by the oracle-verified catalog entry — see sparklink.portable).
     """
     # byte-small doc frames explode ~200x: re-spread first or the explode
-    # and the 32 hash exprs run in the 1-2 AQE-coalesced partitions
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # and the 32 hash exprs run in the 1-2 AQE-coalesced partitions; a wide
+    # production scan is left untouched (no full-text reshuffle)
+    docs = widen_to_parallelism(docs)
     # materialize the normalized text / token array BEFORE the shingle
     # lambda so the normalization runs once per row, not once per shingle
     if shingle == "char":

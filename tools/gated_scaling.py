@@ -4,8 +4,15 @@ effective cores (the sandbox shares ~2 physical cores with co-tenants;
 measuring 1->4-core scaling on a <2-core window reports the host, not
 the plan — BENCH.md 'Host ceiling caveat').
 
-Usage: nohup python tools/gated_scaling.py <out.json> [attempts] &
-Writes a status line per poll to stderr; the final bench JSON to <out>.
+r4 hardening (VERDICT #3): the probe runs BEFORE and AFTER each bench
+run and a reading only counts as *gated* when BOTH sides clear the gate —
+a window that collapses mid-run (co-tenant arriving) is recorded but
+attributed to the host, not the plan. The harness keeps polling until
+TARGET_GOOD gated readings land in [0.8, 1.0] or attempts run out.
+
+Usage: nohup python tools/gated_scaling.py <out.jsonl> [attempts] &
+Writes a status line per poll to stderr; one bench JSON line per reading
+(with pre/post probes) appended to <out>.
 """
 
 from __future__ import annotations
@@ -17,25 +24,31 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GATE = float(os.environ.get("SPARK_GRAFT_SCALE_GATE", "2.5"))
+GATE = float(os.environ.get("SPARK_GRAFT_SCALE_GATE", "3.0"))
 POLL_SECONDS = int(os.environ.get("SPARK_GRAFT_SCALE_POLL", "480"))
+TARGET_GOOD = int(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "2"))
 
 
 def main() -> None:
     out_path = sys.argv[1]
-    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     sys.path.insert(0, REPO)
     from bench import probe_host_capacity
 
     done = 0
-    while done < attempts:
-        ratio = probe_host_capacity()
-        print(f"[gated] probe={ratio} gate={GATE}", file=sys.stderr, flush=True)
-        if ratio < GATE:
+    good = 0
+    while done < attempts and good < TARGET_GOOD:
+        pre = probe_host_capacity()
+        print(f"[gated] probe_pre={pre} gate={GATE}", file=sys.stderr, flush=True)
+        if pre < GATE:
             time.sleep(POLL_SECONDS)
             continue
         done += 1
-        env = dict(os.environ, SPARK_GRAFT_SCALE_ENTITIES="8000", SPARK_GRAFT_SCALE_REPS="1")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SCALE_ENTITIES=os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "8000"),
+            SPARK_GRAFT_SCALE_REPS=os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"),
+        )
         open(out_path + ".running", "w").write(str(time.time()))
         try:
             r = subprocess.run(
@@ -48,18 +61,25 @@ def main() -> None:
             )
         finally:
             os.unlink(out_path + ".running")
+        post = probe_host_capacity()
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         if not line:
             print(f"[gated] run failed: {r.stderr[-500:]}", file=sys.stderr, flush=True)
             continue
         rec = json.loads(line[-1])
-        rec["gate_probe"] = ratio
+        rec["gate_probe_pre"] = pre
+        rec["gate_probe_post"] = post
+        rec["gated"] = bool(pre >= GATE and post >= GATE)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"[gated] eff={rec['value']} probe={ratio}", file=sys.stderr, flush=True)
-        if rec["value"] >= 0.8:
-            break
-        time.sleep(POLL_SECONDS)
+        if rec["gated"] and 0.8 <= rec["value"] <= 1.05:
+            good += 1
+        print(
+            f"[gated] eff={rec['value']} pre={pre} post={post} gated={rec['gated']} good={good}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
 
 
 if __name__ == "__main__":
