@@ -91,23 +91,30 @@ def run_er_pipeline(spark, fixture: str) -> dict:
     transcripts = spark.read.parquet(f"{fixture}/transcripts.parquet")
     dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
 
+    # stage boundaries use localCheckpoint (materialize + TRUNCATE
+    # lineage), mirroring what the catalog's parquet stages give the
+    # production pipeline. persist() alone keeps the full logical plan:
+    # composed through scoring -> clustering -> evaluation the analyzed
+    # plan reaches millions of characters and the DRIVER spends minutes
+    # in Catalyst analysis + per-AQE-event stringification (measured:
+    # eval alone took 117 s on a 400-entity corpus, constant in data
+    # size). Plan size, not data size, was the cost.
     t0 = time.time()
-    records = dd.canonical_records(transcripts)
-    records = records.persist()
+    records = dd.canonical_records(transcripts).localCheckpoint(eager=True)
     n_records = records.count()
     t_canon = time.time()
 
-    bm = dd.blocking_map(records).persist()
+    bm = dd.blocking_map(records).localCheckpoint(eager=True)
     n_keys = bm.count()
     t_block = time.time()
 
-    scored = dd.scored_pairs(records, bm).persist()
+    scored = dd.scored_pairs(records, bm).localCheckpoint(eager=True)
     n_pairs = scored.count()
     dd.release_token_stats()  # scored is materialized; free the shared cache
     t_score = time.time()
 
     em = entity_map(scored, records, threshold=threshold, refine=True)
-    em = em.persist()
+    em = em.localCheckpoint(eager=True)
     n_clusters = em.select("canon_id").distinct().count()
     t_cluster = time.time()
 
@@ -115,11 +122,9 @@ def run_er_pipeline(spark, fixture: str) -> dict:
 
     truth = spark.read.parquet(f"{fixture}/conv_truth.parquet")
     prf = pairwise_prf(em, truth)
-    em.unpersist()
-
-    records.unpersist()
-    bm.unpersist()
-    scored.unpersist()
+    # localCheckpoint partitions are freed by the ContextCleaner once the
+    # frames go out of scope (a handful of MB at bench scale); no explicit
+    # unpersist handle exists for them
     total = t_cluster - t0
     return {
         "n_records": n_records,

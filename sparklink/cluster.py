@@ -255,14 +255,26 @@ def entity_map(
             all_scored, comps, threshold, max_component=max_component, on_oversized=on_oversized
         )
         comps = refined.select("record_id", F.col("canon_id").alias("component"))
+        # lineage boundary: the refine subtree (applyInPandas over the
+        # full scored-pairs join) is referenced THREE times downstream
+        # (both endpoints of `within` + the final membership join);
+        # composing it lazily triples the analyzed plan and every
+        # subsequent driver-side analysis/stringify pass pays it.
+        # comps is one slim row per record — truncate here. (Same
+        # medicine as the CC rounds / match_new boundaries; PLANS.md.)
+        if checkpoint_dir is not None:
+            comps = comps.checkpoint(eager=True)
+        else:
+            comps = comps.localCheckpoint(eager=True)
     # confidence: mean incident edge score to co-members of the SAME final
     # cluster (matters under refinement, where an edge may cross clusters)
     ca = comps.select(F.col("record_id").alias("id_a"), F.col("component").alias("comp_a"))
     cb = comps.select(F.col("record_id").alias("id_b"), F.col("component").alias("comp_b"))
     within = edges.join(ca, "id_a").join(cb, "id_b").filter(F.col("comp_a") == F.col("comp_b"))
-    inc = within.select(F.col("id_a").alias("record_id"), "score").union(
-        within.select(F.col("id_b").alias("record_id"), "score")
-    )
+    # one reference to `within`, not two: exploding both endpoints keeps
+    # the scored-pairs subtree in the plan ONCE (a union of two selects
+    # doubles it — plan size, not data size, is the hazard here)
+    inc = within.select(F.explode(F.array("id_a", "id_b")).alias("record_id"), "score")
     conf = inc.groupBy("record_id").agg(F.avg("score").alias("cluster_score"))
     clustered = comps.join(conf, "record_id", "left")
     return (

@@ -51,9 +51,15 @@ def pairwise_prf(
         r = restrict_to.select("id_a", "id_b").distinct()
         found = found.join(r, ["id_a", "id_b"], "inner")
         true = true.join(r, ["id_a", "id_b"], "inner")
+    # three actions read found/true: materialize once (small id-pair
+    # frames), not once per count
+    found = found.persist()
+    true = true.persist()
     n_found = found.count()
     n_true = true.count()
     n_tp = found.join(true, ["id_a", "id_b"], "inner").count()
+    found.unpersist()
+    true.unpersist()
     precision = n_tp / n_found if n_found else 1.0
     recall = n_tp / n_true if n_true else 1.0
     f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0

@@ -1194,3 +1194,158 @@ def q_session_stats(spark, sf_dir):
     from sparklink.sessions import session_stats
 
     return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ===========================================================================
+# structured person-name comparison (r4: split + nickname fold + middle)
+# ===========================================================================
+
+
+def _duck_name_comp(side: str) -> str:
+    """DuckDB mirror of score._name_components for column name_<side>:
+    suffix strip, comma-form vs space-form split, NULLable middle. Same
+    RE2 patterns as the Spark Column expressions (score.py:60)."""
+    n = f"trim(regexp_replace(lower(trim(name_{side})), '[,\\s]+\\b(jr|sr|ii|iii|iv|v)\\.?\\s*$', ''))"
+    return f"""
+    sp_{side} AS (
+        SELECT doc_id, {n} AS n_{side} FROM named
+    ),
+    comp_{side} AS (
+        SELECT doc_id,
+               CASE WHEN contains(n_{side}, ',')
+                    THEN regexp_extract(trim(regexp_extract(n_{side}, ',\\s*(.*)$', 1)), '^(\\S+)', 1)
+                    ELSE regexp_extract(n_{side}, '^(\\S+)', 1) END AS first_{side},
+               CASE WHEN contains(n_{side}, ',')
+                    THEN regexp_extract(trim(regexp_extract(n_{side}, '^([^,]*)', 1)), '(\\S+)$', 1)
+                    ELSE regexp_extract(n_{side}, '(\\S+)$', 1) END AS last_{side},
+               nullif(trim(CASE WHEN contains(n_{side}, ',')
+                    THEN regexp_extract(trim(regexp_extract(n_{side}, ',\\s*(.*)$', 1)), '^\\S+\\s+(.*)$', 1)
+                    ELSE regexp_extract(n_{side}, '^\\S+\\s+(.*)\\s+\\S+$', 1) END), '') AS middle_{side}
+        FROM sp_{side}
+    )"""
+
+
+def _duck_name_scores_sql() -> str:
+    from sparklink.score import _NICKNAMES
+
+    items = sorted(_NICKNAMES.items())
+    nvals = ", ".join(f"({i}, '{k}', '{v}')" for i, (k, v) in enumerate(items))
+    n = len(items)
+    lev = (
+        "round(1 - CAST(levenshtein({a}, {b}) AS DOUBLE)"
+        " / greatest(length({a}), length({b}), 1), 6)"
+    )
+    return f"""
+WITH nick(idx, nick, canon) AS (VALUES {nvals}),
+toks AS (
+    SELECT doc_id, {DUCK_TOKENS.format(c="lower(text)")} AS ts FROM documents
+),
+base AS (
+    SELECT doc_id, ts[1] AS tok1, ts[2] AS tok2,
+           doc_id % {n} AS idx,
+           (doc_id + 7) % {n} AS midx
+    FROM toks WHERE len(ts) >= 2
+),
+named AS (
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 4 = 2 THEN na.nick || ' ' || b.tok2 || ' ' || b.tok1
+                ELSE na.nick || ' ' || b.tok1 END AS name_a,
+           CASE b.doc_id % 4
+                WHEN 0 THEN cb.canon || ' ' || b.tok1
+                WHEN 1 THEN upper(b.tok1) || ', ' || upper(cb.canon)
+                WHEN 2 THEN cb.canon || ' ' || substr(b.tok2, 1, 1) || ' ' || b.tok1 || ' jr'
+                ELSE b.tok1 || ', ' || cb.canon || ' ' || b.tok2 END AS name_b
+    FROM base b
+    JOIN nick na ON b.idx = na.idx
+    JOIN nick cb ON (CASE WHEN b.doc_id % 3 = 0 THEN b.midx ELSE b.idx END) = cb.idx
+),{_duck_name_comp("a")},{_duck_name_comp("b")},
+joined AS (
+    SELECT n.doc_id, n.name_a, n.name_b,
+           coalesce(fa.canon, a.first_a) AS cf_a,
+           coalesce(fb.canon, b.first_b) AS cf_b,
+           a.last_a, b.last_b, a.middle_a, b.middle_b
+    FROM named n
+    JOIN comp_a a ON n.doc_id = a.doc_id
+    JOIN comp_b b ON n.doc_id = b.doc_id
+    LEFT JOIN nick fa ON a.first_a = fa.nick
+    LEFT JOIN nick fb ON b.first_b = fb.nick
+)
+SELECT doc_id, name_a, name_b,
+       {lev.format(a="cf_a", b="cf_b")} AS first_sim,
+       {lev.format(a="last_a", b="last_b")} AS last_sim,
+       CASE WHEN middle_a IS NULL OR middle_b IS NULL THEN 1.0
+            WHEN (length(middle_a) = 1 AND substr(middle_b, 1, 1) = middle_a)
+                 OR (length(middle_b) = 1 AND substr(middle_a, 1, 1) = middle_b) THEN 1.0
+            WHEN middle_a = middle_b THEN 1.0
+            ELSE 0.0 END AS middle_sim
+FROM joined
+"""
+
+
+@q("er_name_scores", _duck_name_scores_sql())
+def er_name_scores(spark, sf_dir):
+    """Structured person-name comparison (the non-CRF approximation of
+    dedupe-variable-name, extended-variables/officers.py:109-110), verified
+    value-for-value cross-engine: the production component splitter
+    (score._name_components — 'LAST, FIRST [MIDDLE]' / 'FIRST [MIDDLE]
+    LAST' forms, jr/sr suffix strip), diminutive fold (score._canonical_first
+    — 'bill' folds to 'william') and middle-name semantics
+    (score._middle_score — absence is neutral, an initial matches the full
+    name) run over person names constructed deterministically from
+    documents tokens x the nickname table; a DuckDB mirror recomputes every
+    component. Name pairs cover all four surface forms plus deliberate
+    canonical-name mismatches (doc_id%3==0 pairs a nick with a DIFFERENT
+    canonical name) so first_sim varies. Comparator here is the
+    normalized-Levenshtein kernel (exact cross-engine rational parity, as
+    er_pair_levenshtein); the production name variable uses Jaro-Winkler,
+    whose unconditional-prefix-boost variant has no DuckDB built-in twin —
+    that kernel is differential-tested in pytest instead
+    (test_distance_properties.py)."""
+    from sparklink.preprocess import tokens
+    from sparklink.score import _NICKNAMES, _canonical_first, _middle_score, _name_components, levenshtein_udf
+
+    items = sorted(_NICKNAMES.items())
+    n = len(items)
+    nicks = F.array(*[F.lit(k) for k, _ in items])
+    canons = F.array(*[F.lit(v) for _, v in items])
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    b = (
+        d.select("doc_id", tokens(F.lower(F.col("text"))).alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.element_at("ts", 1).alias("tok1"),
+            F.element_at("ts", 2).alias("tok2"),
+            F.element_at(nicks, (did % n + 1).cast("int")).alias("nick_a"),
+            F.when(
+                did % 3 == 0, F.element_at(canons, ((did + 7) % n + 1).cast("int"))
+            ).otherwise(F.element_at(canons, (did % n + 1).cast("int"))).alias("canon_b"),
+        )
+    )
+    name_a = F.when(did % 4 == 2, F.concat_ws(" ", "nick_a", "tok2", "tok1")).otherwise(
+        F.concat_ws(" ", "nick_a", "tok1")
+    )
+    name_b = (
+        F.when(did % 4 == 0, F.concat_ws(" ", "canon_b", "tok1"))
+        .when(did % 4 == 1, F.concat(F.upper("tok1"), F.lit(", "), F.upper("canon_b")))
+        .when(
+            did % 4 == 2,
+            F.concat_ws(" ", "canon_b", F.substring("tok2", 1, 1), F.col("tok1"), F.lit("jr")),
+        )
+        .otherwise(F.concat(F.col("tok1"), F.lit(", "), F.col("canon_b"), F.lit(" "), F.col("tok2")))
+    )
+    named = b.select("doc_id", name_a.alias("name_a"), name_b.alias("name_b"))
+    ca, cb = _name_components(F.col("name_a")), _name_components(F.col("name_b"))
+
+    def lev_sim(x, y):
+        return F.round(1.0 - levenshtein_udf(x, y), 6)
+
+    return named.select(
+        "doc_id",
+        "name_a",
+        "name_b",
+        lev_sim(_canonical_first(ca["first"]), _canonical_first(cb["first"])).alias("first_sim"),
+        lev_sim(ca["last"], cb["last"]).alias("last_sim"),
+        F.round(_middle_score(ca["middle"], cb["middle"]), 6).alias("middle_sim"),
+    )

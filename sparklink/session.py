@@ -58,6 +58,16 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Every SQL execution eagerly stringifies its physical plan for the
+        # SparkListenerSQLExecutionStart event — even with the UI disabled.
+        # On the fused iterative plans (CC rounds, scored-pairs subtree) the
+        # formatted tree string reaches 100s of MB and the DRIVER burns
+        # minutes in StringConcat/ArrayList.copyOf, serializing every
+        # action (measured: 600+ CPU-seconds of a 34k-record run; a real
+        # cluster's driver pays the same). Cap the string (append
+        # short-circuits once full) and emit the cheap mode.
+        "spark.sql.maxPlanStringLength": "100000",
+        "spark.sql.ui.explainMode": "simple",
     }
     if not under_submit:
         defaults["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")

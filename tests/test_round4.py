@@ -26,8 +26,13 @@ def test_widen_to_parallelism_is_identity_on_wide_input(spark):
     from sparklink.util import widen_to_parallelism
 
     par = spark.sparkContext.defaultParallelism
+    # a shuffle-derived frame is AQE's business AND probing it would
+    # execute the upstream shuffle as side jobs (r4: .rdd finalizes the
+    # adaptive plan) — returned untouched without any probe
     wide = spark.range(1000).repartition(par * 2)
     assert widen_to_parallelism(wide) is wide  # no new plan node at all
+    # a narrow scan-only frame (the sandbox small-input case) is probed
+    # for free and spread
     narrow = spark.range(1000).coalesce(1)
     widened = widen_to_parallelism(narrow)
     assert widened.rdd.getNumPartitions() == par
@@ -60,8 +65,12 @@ def test_token_stats_adds_no_exchange_on_wide_input(spark):
     toks, tf, dfreq = token_stats(wide, "conv_text")
     base = _plan(wide).count("Exchange")
     assert _plan(toks).count("Exchange") == base  # narrow projection only
-    # oracles stay green: the guard still fires for narrow inputs
-    narrow = wide.coalesce(1)
+    # oracles stay green: the guard still fires for narrow SCAN-ONLY
+    # inputs (the real sandbox case: byte-small parquet -> 1 partition)
+    narrow = spark.range(200).coalesce(1).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id")).alias("conv_text"),
+    )
     toks_n, _, _ = token_stats(narrow, "conv_text")
     assert toks_n.rdd.getNumPartitions() == par
 
@@ -351,3 +360,83 @@ def test_cli_set_threshold_zero_applies():
     assert dd.threshold == 0.0
     _set_threshold(dd, None)
     assert dd.threshold == 0.0  # None leaves the current value alone
+
+
+# ---------------------------------------------------------------------------
+# er_name_scores: name split + nickname fold + middle semantics, cross-engine
+# ---------------------------------------------------------------------------
+
+
+def test_er_name_scores_matches_duckdb_oracle(spark):
+    """The production name-component path (_name_components split,
+    _canonical_first diminutive fold, _middle_score) must value-match the
+    DuckDB mirror at sf0.001 — the same comparison the driver's
+    correctness gate runs at sf0.01."""
+    import duckdb
+    import pandas as pd
+
+    from sparklink.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["er_name_scores"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(ORACLES["er_name_scores"]).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in ("first_sim", "last_sim", "middle_sim"):
+            df[c] = df[c].astype("float64").round(6)
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+    # fixture must actually exercise the semantics it claims to pin:
+    # folded nicknames score 1.0, mismatched canonicals score < 1.0
+    g = norm(got)
+    assert (g.first_sim == 1.0).any() and (g.first_sim < 1.0).any()
+    assert (g.middle_sim == 1.0).all()  # null / initial-agreement cases only
+
+
+# ---------------------------------------------------------------------------
+# r4: driver plan-size hardening (PLANS.md #18)
+# ---------------------------------------------------------------------------
+
+
+def test_widen_probe_runs_no_jobs_on_shuffle_frames(spark):
+    """Under AQE, .rdd on a shuffle-bearing lazy frame finalizes the plan
+    and EXECUTES upstream stages as untracked side jobs; the widen guard
+    must not probe such frames at all."""
+    from sparklink.util import widen_to_parallelism
+
+    sc = spark.sparkContext
+    agg = spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count()
+    before = list(sc.statusTracker().getJobIdsForGroup())
+    out = widen_to_parallelism(agg)
+    after = list(sc.statusTracker().getJobIdsForGroup())
+    assert out is agg  # untouched: partitioning is AQE's business
+    assert before == after  # and, critically, no side jobs ran
+
+
+def test_entity_map_truncates_refine_subtree(spark):
+    """entity_map(refine=True) must not compose the refine applyInPandas
+    subtree (referenced 3x downstream) into its output plan — persist
+    chains embed whole cached plans into every consumer's executed-plan
+    string and the driver pays minutes of stringify/analysis (PLANS.md
+    #18). The refine boundary is a checkpoint: downstream sees LogicalRDD."""
+    from sparklink.cluster import entity_map
+
+    records = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["conv_id"])
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8), ("c", "d", 0.2)],
+        ["id_a", "id_b", "score"],
+    )
+    em = entity_map(scored, records, threshold=0.5, refine=True)
+    plan = em._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # refine subtree truncated
+    assert "LogicalRDD" in plan  # the checkpoint boundary is what remains
+    # and the result is still correct
+    rows = {r["record_id"]: r["canon_id"] for r in em.collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a", "d": "d"}
