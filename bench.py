@@ -293,10 +293,100 @@ def main_er_once(cpus: str) -> None:
     print(json.dumps(run_er_pipeline(spark, fixture)))
 
 
+# ---------------------------------------------------------------------------
+# Scoring-stage scaling (the BASELINE.md metric is scored-pairs/sec): the
+# full-pipeline attempt takes ~4-5 min, longer than this host's capacity
+# windows last, so ungated full runs keep reading the co-tenant ceiling
+# (~0.6) instead of the plan. This mode precomputes records + blocking_map
+# ONCE to parquet, then times ONLY the scoring job (tf-idf prep + pair
+# hydration + vectorized Arrow scoring) at local[N] vs local[4N] — each leg
+# is ~15-60 s, short enough to fit inside a window — with a capacity probe
+# BEFORE, BETWEEN, and AFTER the legs so a reading is only "gated" when
+# the window held across all three.
+# ---------------------------------------------------------------------------
+
+
+def _score_prep_dir(entities: int) -> str:
+    return f"{FIXTURE_DIR}/scoreprep_e{entities}"
+
+
+def main_score_prep() -> None:
+    """Materialize canonical records + blocking map for the scoring legs."""
+    from sparklink.pipeline import SparkDedupe, default_transcript_predicates
+
+    spark = _get_spark(f"local[{CPUS}]")
+    fixture = ensure_fixture(spark, BENCH_ENTITIES)
+    out = _score_prep_dir(BENCH_ENTITIES)
+    model, threshold = load_static_model()
+    dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+    transcripts = spark.read.parquet(f"{fixture}/transcripts.parquet")
+    records = dd.canonical_records(transcripts)
+    records.write.mode("overwrite").parquet(f"{out}/records.parquet")
+    records = spark.read.parquet(f"{out}/records.parquet")
+    dd.blocking_map(records).write.mode("overwrite").parquet(f"{out}/blocking_map.parquet")
+    open(f"{out}/_DONE", "w").write("ok")
+    print(json.dumps({"prep": out}))
+
+
+def main_score_once(cpus: str) -> None:
+    """Fresh JVM: read the prepped inputs, run ONLY the scoring job, and
+    report scored-pairs/sec (every output column forced — no pruning)."""
+    spark = _get_spark(f"local[{cpus}]")
+    out = _score_prep_dir(BENCH_ENTITIES)
+    from sparklink.pipeline import SparkDedupe, default_transcript_predicates
+
+    model, threshold = load_static_model()
+    dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+    records = spark.read.parquet(f"{out}/records.parquet")
+    bm = spark.read.parquet(f"{out}/blocking_map.parquet")
+    t0 = time.time()
+    n = _materialize(dd.scored_pairs(records, bm))
+    dt = time.time() - t0
+    print(json.dumps({"n_scored_pairs": n, "sec_scoring": round(dt, 2), "scored_pairs_per_sec": round(n / dt, 1)}))
+
+
+def main_scaling_scoring() -> None:
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+    entities = int(os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "8000"))
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ENTITIES=str(entities))
+    if not os.path.exists(f"{_score_prep_dir(entities)}/_DONE"):
+        subprocess.run([sys.executable, __file__, "--score-prep"], cwd=REPO, env=env, check=True)
+    pair = (n_low, 4 * n_low)
+    probes = {"pre": probe_host_capacity()}
+    results = {}
+    for tag, n in zip(("mid", "post"), pair):
+        out = subprocess.run(
+            [sys.executable, __file__, "--score-once", str(n)],
+            capture_output=True, text=True, cwd=REPO, env=env,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[n] = json.loads(line)
+        probes[tag] = probe_host_capacity()
+    tp_lo, tp_hi = results[pair[0]]["scored_pairs_per_sec"], results[pair[1]]["scored_pairs_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": f"scoring_scaling_efficiency_{pair[0]}_to_{pair[1]}",
+                "value": round((tp_hi / tp_lo) / 4.0, 3),
+                "unit": "fraction",
+                "throughput": {f"local[{pair[0]}]": tp_lo, f"local[{pair[1]}]": tp_hi},
+                "probes": probes,
+                "detail": results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-scoring" in sys.argv:
+        main_scaling_scoring()
+    elif "--scaling" in sys.argv:
         main_scaling()
     elif "--er-once" in sys.argv:
         main_er_once(sys.argv[sys.argv.index("--er-once") + 1])
+    elif "--score-prep" in sys.argv:
+        main_score_prep()
+    elif "--score-once" in sys.argv:
+        main_score_once(sys.argv[sys.argv.index("--score-once") + 1])
     else:
         main_default()

@@ -50,9 +50,12 @@ def main() -> None:
             SPARK_GRAFT_SCALE_REPS=os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"),
         )
         open(out_path + ".running", "w").write(str(time.time()))
+        mode_flag = (
+            "--scaling-scoring" if os.environ.get("SPARK_GRAFT_SCALE_MODE") == "scoring" else "--scaling"
+        )
         try:
             r = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                [sys.executable, os.path.join(REPO, "bench.py"), mode_flag],
                 capture_output=True,
                 text=True,
                 cwd=REPO,
@@ -69,7 +72,10 @@ def main() -> None:
         rec = json.loads(line[-1])
         rec["gate_probe_pre"] = pre
         rec["gate_probe_post"] = post
-        rec["gated"] = bool(pre >= GATE and post >= GATE)
+        # scoring mode embeds pre/mid/post probes taken BETWEEN the legs;
+        # the window must hold across every probe for the reading to count
+        inner = list(rec.get("probes", {}).values())
+        rec["gated"] = bool(min([pre, post] + inner) >= GATE)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if rec["gated"] and 0.8 <= rec["value"] <= 1.05:
