@@ -59,13 +59,21 @@ def _get_spark(master: str):
 
 
 def ensure_fixture(spark, n_entities: int, seed: int = 42) -> str:
-    """Deterministic bench corpus, cached on disk keyed by params."""
-    path = f"{FIXTURE_DIR}/e{n_entities}_s{seed}"
+    """Deterministic bench corpus, cached on disk keyed by params.
+
+    SPARK_GRAFT_BENCH_VOCAB_SCALE (default 1 = the historical fixture)
+    multiplies the synth template vocabulary so per-pair separability stays
+    ~constant as the corpus grows — the 10x quality row's knob (the fixed
+    51-word vocab makes the FIXTURE ambiguous at 80k entities, see
+    sparklink.synth._scaled_vocab)."""
+    vocab_scale = int(os.environ.get("SPARK_GRAFT_BENCH_VOCAB_SCALE", "1"))
+    suffix = f"_v{vocab_scale}" if vocab_scale > 1 else ""
+    path = f"{FIXTURE_DIR}/e{n_entities}_s{seed}{suffix}"
     marker = f"{path}/_DONE"
     if not os.path.exists(marker):
         from sparklink.synth import write_fixture
 
-        write_fixture(spark, path, n_entities=n_entities, seed=seed)
+        write_fixture(spark, path, n_entities=n_entities, seed=seed, vocab_scale=vocab_scale)
         open(marker, "w").write("ok")
     return path
 
@@ -352,11 +360,20 @@ def main_scaling_scoring() -> None:
     if not os.path.exists(f"{_score_prep_dir(entities)}/_DONE"):
         subprocess.run([sys.executable, __file__, "--score-prep"], cwd=REPO, env=env, check=True)
     pair = (n_low, 4 * n_low)
+    # pin each leg to exactly N physical cores (JVM helper threads and the
+    # python/Arrow workers INCLUDED, like a real fixed-size executor).
+    # Unpinned, the local[1] leg pipelines its serialization thread and
+    # python worker onto spare cores — a ~1.5-core "1-core" baseline that
+    # structurally deflates the measured efficiency.
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
     probes = {"pre": probe_host_capacity()}
     results = {}
     for tag, n in zip(("mid", "post"), pair):
+        cmd = [sys.executable, __file__, "--score-once", str(n)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--score-once", str(n)],
+            cmd,
             capture_output=True, text=True, cwd=REPO, env=env,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -371,6 +388,7 @@ def main_scaling_scoring() -> None:
                 "unit": "fraction",
                 "throughput": {f"local[{pair[0]}]": tp_lo, f"local[{pair[1]}]": tp_hi},
                 "probes": probes,
+                "pinned_cores": pin,
                 "detail": results,
             }
         )

@@ -39,14 +39,31 @@ _ACCENT = str.maketrans({"a": "á", "e": "é", "i": "í", "o": "ó", "u": "ú"})
 _EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
 
-def _template_conversation(rng: np.random.Generator) -> list[tuple[str, str, str | None]]:
+def _scaled_vocab(scale: int) -> list[str]:
+    """``scale=1`` -> the historical 51-word vocab (bit-identical fixtures —
+    the rng stream only depends on population LENGTH, which is unchanged).
+    ``scale>1`` -> each word spawns ``scale`` numbered variants, multiplying
+    the template space. Why this knob exists: with the fixed 51-word vocab
+    the number of DISTINCT-entity template collisions grows ~n² in entity
+    count (at 80k entities, 327 normalized conversation texts span multiple
+    true entities — measured), so the fixture's Bayes error, not pipeline
+    quality, becomes the binding constraint on pairwise F1 at 10x bench
+    scale. Real transcripts keep per-pair separability roughly constant as
+    a corpus grows; ``vocab_scale`` restores that property for large-scale
+    quality rows while leaving every historical fixture byte-identical."""
+    if scale <= 1:
+        return list(_VOCAB)
+    return [w if i == 0 else f"{w}{i}" for w in _VOCAB for i in range(scale)]
+
+
+def _template_conversation(rng: np.random.Generator, vocab: list[str]) -> list[tuple[str, str, str | None]]:
     """One entity's canonical conversation: list of (role, text, tool)."""
     n_turns = int(rng.integers(3, 13))
     turns = []
     for t in range(n_turns):
         role = "user" if t % 2 == 0 else "assistant"
         n_words = int(rng.integers(5, 14))
-        words = list(rng.choice(_VOCAB, size=n_words))
+        words = list(rng.choice(vocab, size=n_words))
         if rng.random() < 0.5:
             words.append(str(int(rng.integers(100, 99999))))
         tool = None
@@ -93,6 +110,7 @@ def make_transcripts(
     big_cluster_every: int = 50,
     big_cluster_size: int = 40,
     two_sources: bool = False,
+    vocab_scale: int = 1,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Return (transcripts, conv_truth) pandas frames.
 
@@ -105,12 +123,13 @@ def make_transcripts(
     source); adds a ``source`` column ('a'/'b').
     """
     rng = np.random.default_rng(seed)
+    vocab = _scaled_vocab(vocab_scale)
     t_rows: list[tuple] = []
     truth_rows: list[tuple] = []
     conv_counter = itertools.count()
     for e in range(n_entities):
         entity_id = f"e{e:06d}"
-        template = _template_conversation(rng)
+        template = _template_conversation(rng, vocab)
         if two_sources:
             # ~70% of entities appear in both sources; rest in one only.
             both = rng.random() < 0.7
@@ -212,9 +231,13 @@ def make_labeled_pairs(
     )
 
 
-def write_fixture(spark, out_dir: str, n_entities: int = 300, seed: int = 42, two_sources: bool = False) -> dict:
+def write_fixture(
+    spark, out_dir: str, n_entities: int = 300, seed: int = 42, two_sources: bool = False, vocab_scale: int = 1
+) -> dict:
     """Materialize the fixture as parquet under out_dir; returns paths."""
-    transcripts, conv_truth = make_transcripts(n_entities=n_entities, seed=seed, two_sources=two_sources)
+    transcripts, conv_truth = make_transcripts(
+        n_entities=n_entities, seed=seed, two_sources=two_sources, vocab_scale=vocab_scale
+    )
     labeled = make_labeled_pairs(conv_truth, transcripts, seed=seed)
     paths = {}
     for name, pdf in [("transcripts", transcripts), ("conv_truth", conv_truth), ("labeled_pairs", labeled)]:

@@ -420,6 +420,26 @@ def test_widen_probe_runs_no_jobs_on_shuffle_frames(spark):
     assert before == after  # and, critically, no side jobs ran
 
 
+def test_synth_vocab_scale_one_is_bit_identical():
+    """vocab_scale=1 must reproduce the historical fixture byte-for-byte
+    (bench/oracle comparability across rounds); scale>1 multiplies the
+    template space for the large-corpus quality rows."""
+    import hashlib
+
+    import pandas as pd
+
+    from sparklink.synth import _scaled_vocab, make_transcripts
+
+    t, tr = make_transcripts(n_entities=50, seed=7, vocab_scale=1)
+    h = hashlib.md5(pd.util.hash_pandas_object(t).values.tobytes()).hexdigest()
+    h2 = hashlib.md5(pd.util.hash_pandas_object(tr).values.tobytes()).hexdigest()
+    # fingerprints captured on the pre-vocab_scale generator
+    assert (h, h2) == ("1068078776d3f1db8deab0880374161d", "688ed214c973cf099d71e0300b52c286")
+    assert len(_scaled_vocab(10)) == 10 * len(_scaled_vocab(1))
+    t10, _ = make_transcripts(n_entities=50, seed=7, vocab_scale=10)
+    assert not t.equals(t10)
+
+
 def test_entity_map_truncates_refine_subtree(spark):
     """entity_map(refine=True) must not compose the refine applyInPandas
     subtree (referenced 3x downstream) into its output plan — persist

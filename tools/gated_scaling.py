@@ -25,8 +25,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE = float(os.environ.get("SPARK_GRAFT_SCALE_GATE", "3.0"))
+# the probe is a RATIO (8-proc vs 1-proc sustained matmul): on an idle
+# C-core host it reads ~C, so values ABOVE ~8 are physically impossible
+# from free capacity — they mean the 1-proc leg was descheduled by a
+# co-tenant, i.e. the host is LOADED, not free (observed: 9.5, 14.0,
+# 31.2 probes whose windows then measured <2 effective cores). A clean
+# window reads inside [GATE, GATE_HI] on EVERY sample.
+GATE_HI = float(os.environ.get("SPARK_GRAFT_SCALE_GATE_HI", "8.5"))
 POLL_SECONDS = int(os.environ.get("SPARK_GRAFT_SCALE_POLL", "480"))
 TARGET_GOOD = int(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "2"))
+
+
+def _in_band(x: float) -> bool:
+    return GATE <= x <= GATE_HI
 
 
 def main() -> None:
@@ -39,8 +50,8 @@ def main() -> None:
     good = 0
     while done < attempts and good < TARGET_GOOD:
         pre = probe_host_capacity()
-        print(f"[gated] probe_pre={pre} gate={GATE}", file=sys.stderr, flush=True)
-        if pre < GATE:
+        print(f"[gated] probe_pre={pre} band=[{GATE},{GATE_HI}]", file=sys.stderr, flush=True)
+        if not _in_band(pre):
             time.sleep(POLL_SECONDS)
             continue
         done += 1
@@ -73,9 +84,10 @@ def main() -> None:
         rec["gate_probe_pre"] = pre
         rec["gate_probe_post"] = post
         # scoring mode embeds pre/mid/post probes taken BETWEEN the legs;
-        # the window must hold across every probe for the reading to count
+        # the window must hold IN BAND across every probe for the reading
+        # to count (above-band = 1-proc leg descheduled = loaded host)
         inner = list(rec.get("probes", {}).values())
-        rec["gated"] = bool(min([pre, post] + inner) >= GATE)
+        rec["gated"] = all(_in_band(x) for x in [pre, post] + inner)
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if rec["gated"] and 0.8 <= rec["value"] <= 1.05:
