@@ -267,11 +267,16 @@ def main_scaling() -> None:
     entities = os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "2000")
     env = dict(os.environ, SPARK_GRAFT_BENCH_ENTITIES=entities)
     pair = (n_low, 4 * n_low)
+    # same core pinning as the scoring mode: each leg gets exactly N cores
+    # (helper threads + python workers included, like a fixed-size executor)
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
     results = {}
     for n in pair:
         best = None
         for _ in range(reps):
             cmd = [sys.executable, __file__, "--er-once", str(n)]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             r = json.loads(line)

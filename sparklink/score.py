@@ -213,11 +213,16 @@ def _address_components(c: Column) -> Column:
     abbreviations expanded (_STREET_NORMS). Pure JVM regexp."""
     a = F.lower(F.trim(c))
     number = F.nullif(F.regexp_extract(a, r"^\s*(\d+)", 1), F.lit(""))
-    unit = F.nullif(F.regexp_extract(a, r"(?:apt|unit|suite|ste|#)\.?\s*([0-9a-z-]+)\s*$", 1), F.lit(""))
+    # multi-token units: up to TWO trailing tokens after the marker
+    # ('suite 100 b'), compared space/hyphen-insensitively so
+    # 'suite 100 b' ≡ 'suite 100b' ≡ 'ste 100-b'. The two-token cap keeps
+    # a LEADING unit ('unit b main street') from swallowing the street.
+    unit_raw = F.regexp_extract(a, r"(?:apt|unit|suite|ste|#)\.?\s*([0-9a-z-]+(?: [0-9a-z-]+)?)\s*$", 1)
+    unit = F.nullif(F.regexp_replace(unit_raw, r"[ -]", ""), F.lit(""))
     street = _normalize_street(
         F.regexp_replace(
             F.regexp_replace(a, r"^\s*\d+\s*", ""),
-            r"(?:apt|unit|suite|ste|#)\.?\s*[0-9a-z-]+\s*$",
+            r"(?:apt|unit|suite|ste|#)\.?\s*[0-9a-z-]+(?: [0-9a-z-]+)?\s*$",
             "",
         )
     )

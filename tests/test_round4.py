@@ -420,6 +420,31 @@ def test_widen_probe_runs_no_jobs_on_shuffle_frames(spark):
     assert before == after  # and, critically, no side jobs ran
 
 
+def test_address_multi_token_unit(spark):
+    """Multi-token street units compare space/hyphen-insensitively
+    ('Suite 100 B' ≡ 'Ste 100-B'), and a LEADING unit marker must not
+    swallow the street (two-token cap)."""
+    from sparklink.score import FieldModel, Variable
+
+    pairs = spark.createDataFrame(
+        [
+            ("12 Main St Suite 100 B", "12 Main Street Ste 100-B"),   # multi-token unit, equal
+            ("12 Main St Suite 100 B", "12 Main Street Suite 100B"),  # spacing variant, equal
+            ("12 Main St Apt 4", "12 Main Street Apt 5"),             # conflicting unit
+            ("12 Main St", "12 Main Street"),                          # both unit-less -> neutral 1.0
+        ],
+        "addr_a string, addr_b string",
+    )
+    m = FieldModel(variables=[Variable("addr", "address", has_missing=False)])
+    d = m.distance_frame(pairs).toPandas()
+    u = d["d_address_addr__unit"]
+    assert u[0] == 1.0 and u[1] == 1.0, u.tolist()
+    assert u[2] == 0.0
+    assert u[3] == 1.0
+    assert (d["d_address_addr__street"] > 0.999).all()  # street never polluted by the unit
+    assert (d["d_address_addr__number"] == 1.0).all()
+
+
 def test_synth_vocab_scale_one_is_bit_identical():
     """vocab_scale=1 must reproduce the historical fixture byte-for-byte
     (bench/oracle comparability across rounds); scale>1 multiplies the
