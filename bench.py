@@ -407,6 +407,36 @@ def _tree_cpu_breakdown(root_pid: int) -> dict[str, float]:
     return {k: round(v, 1) for k, v in out.items()}
 
 
+def _jvm_thread_groups() -> dict[str, float]:
+    """Cumulative per-thread-name-group CPU-seconds across all java
+    processes (thread names like 'C2 CompilerThread0' / 'Executor task
+    launch worker-3' are collapsed by stripping trailing digits).
+    Snapshot before and after a window and subtract for attribution."""
+    import re as _re
+
+    clk = os.sysconf("SC_CLK_TCK")
+    groups: dict[str, float] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                raw = f.read()
+            if "java" not in raw.split("(", 1)[1].rsplit(")", 1)[0]:
+                continue
+            for t in os.listdir(f"/proc/{p}/task"):
+                with open(f"/proc/{p}/task/{t}/stat") as f:
+                    traw = f.read()
+                name = traw.split("(", 1)[1].rsplit(")", 1)[0]
+                tp = traw.rsplit(")", 1)[1].split()
+                cpu_t = (int(tp[11]) + int(tp[12])) / clk
+                key = _re.sub(r"[#\-]?\d+$", "", name).strip("-# ")
+                groups[key] = groups.get(key, 0.0) + cpu_t
+        except (OSError, IndexError, ValueError):
+            continue
+    return groups
+
+
 def main_score_once(cpus: str) -> None:
     """Fresh JVM: read the prepped inputs, run ONLY the scoring job, and
     report scored-pairs/sec (every output column forced — no pruning)."""
@@ -431,40 +461,39 @@ def main_score_once(cpus: str) -> None:
         jaro_winkler_udf(F.lit("warm"), F.lit("worm")).alias("d")
     )
     warm.agg(F.sum("d")).collect()
+    # Warm the JVM's JIT the same way (SPARK_GRAFT_SCORE_WARMRUN=0 to
+    # skip): run the full scoring job once UNMEASURED with a throwaway
+    # pipeline instance, then measure a second run on a FRESH instance
+    # (fresh lineage — no shuffle reuse, no shared token-stats cache, full
+    # recompute). Thread attribution on a cold JVM shows C1+C2 compiler
+    # threads burning ~23 CPU-s during a 23-62 s measured window — a
+    # one-time cost both real executors and a multi-hour 100 TB job
+    # amortize to zero, but which dominates a short leg and distorts the
+    # N-vs-4N CPU comparison (compiler thread count scales with visible
+    # cores).
+    warm_run = os.environ.get("SPARK_GRAFT_SCORE_WARMRUN", "1") == "1"
+    if warm_run:
+        dd_warm = SparkDedupe(
+            model=model, predicates=default_transcript_predicates(), threshold=threshold
+        )
+        _materialize(dd_warm.scored_pairs(records, bm))
+        dd_warm.release_token_stats()
     cpu0 = _tree_cpu_seconds(os.getpid())
     bd0 = _tree_cpu_breakdown(os.getpid())
+    want_threads = os.environ.get("SPARK_GRAFT_CPU_THREADS") == "1"
+    th0 = _jvm_thread_groups() if want_threads else {}
     t0 = time.time()
     n = _materialize(dd.scored_pairs(records, bm))
     dt = time.time() - t0
     cpu = _tree_cpu_seconds(os.getpid()) - cpu0
     bd1 = _tree_cpu_breakdown(os.getpid())
-    if os.environ.get("SPARK_GRAFT_CPU_THREADS") == "1":
-        # attribute JVM CPU per thread-name group (debug): GC vs task
-        # workers vs shuffle vs everything else
-        clk = os.sysconf("SC_CLK_TCK")
-        import re as _re
-
-        groups: dict[str, float] = {}
-        for p in os.listdir("/proc"):
-            if not p.isdigit():
-                continue
-            try:
-                with open(f"/proc/{p}/stat") as f:
-                    raw = f.read()
-                if "java" not in raw.split("(", 1)[1].rsplit(")", 1)[0]:
-                    continue
-                for t in os.listdir(f"/proc/{p}/task"):
-                    with open(f"/proc/{p}/task/{t}/stat") as f:
-                        traw = f.read()
-                    name = traw.split("(", 1)[1].rsplit(")", 1)[0]
-                    tp = traw.rsplit(")", 1)[1].split()
-                    cpu_t = (int(tp[11]) + int(tp[12])) / clk
-                    key = _re.sub(r"[#\-]?\d+$", "", name).strip("-# ")
-                    groups[key] = groups.get(key, 0.0) + cpu_t
-            except (OSError, IndexError, ValueError):
-                continue
-        top = dict(sorted(groups.items(), key=lambda kv: -kv[1])[:15])
-        print("THREADS " + json.dumps({k: round(v, 1) for k, v in top.items()}), file=sys.stderr)
+    if want_threads:
+        # attribute the MEASURED WINDOW's JVM CPU per thread-name group
+        # (debug): JIT compilers vs GC vs task workers vs shuffle vs rest
+        th1 = _jvm_thread_groups()
+        delta = {k: round(v - th0.get(k, 0.0), 1) for k, v in th1.items() if v - th0.get(k, 0.0) > 0.05}
+        top = dict(sorted(delta.items(), key=lambda kv: -kv[1])[:15])
+        print("THREADS " + json.dumps(top), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -473,6 +502,7 @@ def main_score_once(cpus: str) -> None:
                 "scored_pairs_per_sec": round(n / dt, 1),
                 "cpu_seconds": round(cpu, 1),
                 "cpu_breakdown": {k: round(bd1[k] - bd0[k], 1) for k in bd1},
+                "warm_run": warm_run,
             }
         )
     )
