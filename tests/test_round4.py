@@ -485,3 +485,49 @@ def test_entity_map_truncates_refine_subtree(spark):
     # and the result is still correct
     rows = {r["record_id"]: r["canon_id"] for r in em.collect()}
     assert rows == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+# ---------------------------------------------------------------------------
+# bench CPU-tree accounting (scaling-evidence harness): live children and
+# reaped children must both be charged to the root's tree
+# ---------------------------------------------------------------------------
+
+
+def test_tree_cpu_seconds_counts_live_and_reaped_children():
+    import os
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _tree_cpu_seconds
+
+    burn = "import time; t=time.process_time()\nwhile time.process_time()-t < 1.0: pass"
+    before = _tree_cpu_seconds(os.getpid())
+    # reaped child: finished + waited-on -> counted via cutime/cstime
+    subprocess.run([_sys.executable, "-c", burn], check=True)
+    after_reaped = _tree_cpu_seconds(os.getpid())
+    assert after_reaped - before >= 0.8, "reaped child CPU not charged to tree"
+    # live child: still running at sample time -> counted via its own stat
+    p = subprocess.Popen([_sys.executable, "-c", burn + "\nimport time; time.sleep(5)"])
+    try:
+        import time as _time
+
+        _time.sleep(2.0)  # let it finish the 1 s burn, still alive (sleeping)
+        during = _tree_cpu_seconds(os.getpid())
+        assert during - after_reaped >= 0.8, "live child CPU not charged to tree"
+    finally:
+        p.kill()
+        p.wait()
+
+
+def test_tree_cpu_breakdown_buckets_by_process_kind():
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _tree_cpu_breakdown
+
+    bd = _tree_cpu_breakdown(os.getpid())
+    assert set(bd) == {"driver_py", "jvm", "workers_py"}
+    # this test process is the root: all its own CPU lands in driver_py
+    assert bd["driver_py"] > 0.0
