@@ -164,6 +164,21 @@ def _canonical_first(c: Column) -> Column:
     return F.coalesce(F.try_element_at(_nickname_map(), c), c)
 
 
+def _first_score(fl: Column, fr: Column) -> Column:
+    """First-name component: Jaro-Winkler on diminutive-folded names, with
+    an initial rule — a single-letter given name matching the other side's
+    first letter reads as an abbreviated form ('J SMITH' ≡ 'JOHN SMITH',
+    extended-variables/officers.py name semantics). Floored at 0.9 rather
+    than set to 1.0: an initial is weaker evidence than full-name equality
+    (it also matches 'JANE'), and the LR weight calibrates on top."""
+    cl, cr = _canonical_first(fl), _canonical_first(fr)
+    initial = ((F.length(cl) == 1) & (F.substring(cr, 1, 1) == cl)) | (
+        (F.length(cr) == 1) & (F.substring(cl, 1, 1) == cr)
+    )
+    jw = jaro_winkler_udf(cl, cr)
+    return F.when(initial, F.greatest(jw, F.lit(0.9))).otherwise(jw)
+
+
 def _middle_score(ml: Column, mr: Column) -> Column:
     """Middle-name component: neutral 1.0 unless BOTH sides carry a middle
     token (absence is not evidence against a match); an initial matching
@@ -416,7 +431,7 @@ class FieldModel:
                 # "SMITH, JOHN" as a match where whole-string JW does not.
                 fl_l, fl_r = _name_components(l), _name_components(r)
                 comp = {
-                    "first": jaro_winkler_udf(_canonical_first(fl_l["first"]), _canonical_first(fl_r["first"])),
+                    "first": _first_score(fl_l["first"], fl_r["first"]),
                     "last": jaro_winkler_udf(fl_l["last"], fl_r["last"]),
                     "middle": _middle_score(fl_l["middle"], fl_r["middle"]),
                 }

@@ -531,3 +531,24 @@ def test_tree_cpu_breakdown_buckets_by_process_kind():
     assert set(bd) == {"driver_py", "jvm", "workers_py"}
     # this test process is the root: all its own CPU lands in driver_py
     assert bd["driver_py"] > 0.0
+
+
+def test_first_initial_matches_full_first_name(spark):
+    from sparklink.score import FieldModel, Variable
+
+    pairs = spark.createDataFrame(
+        [
+            ("J SMITH", "JOHN SMITH"),        # abbreviated given name
+            ("SMITH, J", "JOHN SMITH"),       # comma form, initial side
+            ("K SMITH", "JOHN SMITH"),        # initial CONFLICTS
+            ("JOHN SMITH", "JOHN SMITH"),     # full equality still 1.0
+        ],
+        "name_a string, name_b string",
+    )
+    m = FieldModel(variables=[Variable("name", "name", has_missing=False)])
+    d = m.distance_frame(pairs).toPandas()
+    first = d["d_name_name__first"]
+    assert first[0] >= 0.9 and first[1] >= 0.9
+    assert first[2] < 0.8  # wrong initial is a mismatch, not an abbreviation
+    assert first[3] == 1.0
+    assert (d["d_name_name__last"] > 0.999).all()
