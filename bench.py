@@ -208,7 +208,42 @@ def main_default() -> None:
         "er": er,
         "cpus": CPUS,
     }
+    scaling = _scaling_summary()
+    if scaling:
+        out["scaling"] = scaling
     print(json.dumps(out))
+
+
+def _scaling_summary() -> dict | None:
+    """Summarize committed scaling readings (bench_results/scaling_r4.jsonl,
+    produced by `bench.py --scaling-scoring` / tools/gated_scaling.py) so the
+    per-round headline JSON carries the north_rule scaling evidence with
+    provenance instead of leaving it only in BENCH.md prose. Medians over
+    all readings; raw lines (probes, CPU breakdowns, pinned cores) are in
+    the file."""
+    path = os.path.join(REPO, "bench_results", "scaling_r4.jsonl")
+    if not os.path.exists(path):
+        return None
+    wall, cpu = [], []
+    for line in open(path):
+        try:
+            r = json.loads(line)
+        except ValueError:
+            continue
+        if r.get("unit") == "fraction" and "_1_to_4" in str(r.get("metric")):
+            wall.append(r["value"])
+            if r.get("cpu_efficiency"):
+                cpu.append(r["cpu_efficiency"])
+    if not wall:
+        return None
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    return {
+        "pair": "local[1] vs local[4], taskset-pinned, JIT-steady-state",
+        "n_readings": len(wall),
+        "wall_efficiency_median": med(wall),
+        "cpu_efficiency_median": med(cpu) if cpu else None,
+        "source": "bench_results/scaling_r4.jsonl (bench.py --scaling-scoring)",
+    }
 
 
 def probe_host_capacity(n_procs: int = 8, dur: float = 4.0) -> float:
