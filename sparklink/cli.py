@@ -144,7 +144,7 @@ def cmd_match_new(args) -> None:
     new_t = spark.read.parquet(args.transcripts_new)
     existing_records = canonicalize(spark.read.parquet(args.transcripts_existing))
     em_existing = spark.read.parquet(args.entity_map)
-    delta = dd.match_new(new_t, existing_records, em_existing)
+    delta = dd.match_new(new_t, existing_records, em_existing, close_chains=not args.no_close_chains)
     write_parquet(delta, args.out)
     # count the landed parquet, not the plan (no re-execution)
     print(json.dumps({"delta_rows": spark.read.parquet(args.out).count()}))
@@ -190,6 +190,9 @@ def main(argv: list[str] | None = None) -> None:
     mn.add_argument("--entity-map", required=True)
     mn.add_argument("--model")
     mn.add_argument("--out", required=True)
+    # reproduce the cheaper unmatched-only in-batch dedupe (no chain
+    # closure through gazetteer-assigned records)
+    mn.add_argument("--no-close-chains", action="store_true")
 
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)

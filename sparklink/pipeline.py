@@ -335,6 +335,7 @@ class SparkDedupe:
         existing_records: DataFrame,
         entity_map_existing: DataFrame,
         threshold: float | None = None,
+        close_chains: bool = True,
     ) -> DataFrame:
         """Incremental dedupe: assign a batch of NEW transcripts against an
         already-partitioned corpus WITHOUT re-running the quadratic
@@ -353,10 +354,21 @@ class SparkDedupe:
         new records — (record_id, canon_id, cluster_score) — to union/MERGE
         onto the existing map.
 
-        Known approximation (documented, inherent to incremental ER): a
-        chain new-B ~ new-A ~ existing-X where only A clears the gazetteer
-        threshold lands B in a new batch cluster rather than X's; a
-        periodic full ``partition`` re-consolidates."""
+        With ``close_chains=True`` (default) the in-batch pipeline runs
+        over ALL new records (not only the gazetteer-unmatched ones) and
+        each in-batch cluster inherits the existing canon_id of its
+        best-gazetteer-scored assigned member: a chain new-B ~ new-A ~
+        existing-X where only A clears the gazetteer threshold lands B in
+        X's entity (confidence = least(B's in-batch cluster score, A's
+        gazetteer score)). Costs one in-batch pipeline over the full batch
+        instead of the unmatched slice — linear in batch size, same order
+        as the gazetteer match itself. ``close_chains=False`` restores the
+        cheaper unmatched-only behavior.
+
+        Known approximation (documented, inherent to incremental ER):
+        chains routed through existing records that never cleared the
+        gazetteer threshold stay unclosed either way; a periodic full
+        ``partition`` re-consolidates."""
         from sparklink.linkage import SparkGazetteer
 
         t = self.threshold if threshold is None else threshold
@@ -391,6 +403,7 @@ class SparkDedupe:
                 "threshold": t,
                 "preds": [p.pid for p in self.predicates],
                 "cap": self.max_block_size,
+                "close_chains": close_chains,
             }
         gaz.index(existing_records, catalog=child)
 
@@ -422,8 +435,6 @@ class SparkDedupe:
         assigned = matched.filter(F.col("canon_id").isNotNull()).select(
             F.col("messy_id").alias("record_id"), "canon_id", F.col("score").alias("cluster_score")
         )
-        resolved = matched.filter(F.col("canon_id").isNotNull()).select(F.col("messy_id").alias("conv_id"))
-        unmatched_ids = new_records.join(resolved, "conv_id", "left_anti").select("conv_id")
         batch = SparkDedupe(
             model=self.model,
             predicates=self.predicates,
@@ -435,7 +446,53 @@ class SparkDedupe:
             max_component=self.max_component,
             catalog=child,
         )
-        sub = _boundary("unmatched_new", lambda: transcripts_new.join(unmatched_ids, "conv_id"))
-        em_batch = batch.partition(sub)
+        if not close_chains:
+            resolved = matched.filter(F.col("canon_id").isNotNull()).select(
+                F.col("messy_id").alias("conv_id")
+            )
+            unmatched_ids = new_records.join(resolved, "conv_id", "left_anti").select("conv_id")
+            sub = _boundary("unmatched_new", lambda: transcripts_new.join(unmatched_ids, "conv_id"))
+            em_batch = batch.partition(sub)
+            gaz.unindex()
+            return assigned.unionByName(em_batch)
+        # chain closure: dedupe the WHOLE batch among itself, then let each
+        # in-batch cluster inherit the existing canon of its best-scored
+        # gazetteer-assigned member (deterministic tiebreak), so
+        # new-B ~ new-A ~ existing-X lands B in X's entity
+        em_batch = batch.partition(transcripts_new)
+        anchors = (
+            em_batch.withColumnRenamed("canon_id", "batch_canon")
+            .join(
+                assigned.select(
+                    "record_id",
+                    F.col("canon_id").alias("ex_canon"),
+                    F.col("cluster_score").alias("gaz_score"),
+                ),
+                "record_id",
+            )
+            .groupBy("batch_canon")
+            .agg(
+                F.max_by(
+                    F.struct("gaz_score", "ex_canon"),
+                    # record_id is unique, so the ordering struct is
+                    # tie-free: equal scores break on the larger id —
+                    # deterministic across runs and partitionings
+                    F.struct(F.col("gaz_score"), F.col("record_id")),
+                ).alias("best"),
+            )
+            .select("batch_canon", F.col("best.ex_canon").alias("ex_canon"), F.col("best.gaz_score").alias("gaz_score"))
+        )
+        inherited = (
+            em_batch.join(assigned.select("record_id"), "record_id", "left_anti")
+            .withColumnRenamed("canon_id", "batch_canon")
+            .join(anchors, "batch_canon", "left")
+            .select(
+                "record_id",
+                F.coalesce("ex_canon", "batch_canon").alias("canon_id"),
+                F.when(
+                    F.col("ex_canon").isNotNull(), F.least("cluster_score", "gaz_score")
+                ).otherwise(F.col("cluster_score")).alias("cluster_score"),
+            )
+        )
         gaz.unindex()
-        return assigned.unionByName(em_batch)
+        return assigned.unionByName(inherited)

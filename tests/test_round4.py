@@ -286,7 +286,9 @@ def test_match_new_stages_through_catalog_and_resumes(spark, match_new_fixture):
     child_wh = os.path.join(wh, "match_new_batch")
     child = Catalog(spark, child_wh)
     written = {r["stage"] for r in child._lineage() if r.get("event") == "write"}
-    assert {"gazetteer_matches", "unmatched_new", "records", "blocking_map", "scored_pairs", "entity_map"} <= written
+    # close_chains=True runs the in-batch pipeline over the WHOLE batch;
+    # there is no separate unmatched_new stage
+    assert {"gazetteer_matches", "records", "blocking_map", "scored_pairs", "entity_map"} <= written
 
     # kill/resume: a FRESH pipeline + catalog over the same warehouse must
     # resume every incremental stage and produce the identical delta
@@ -298,7 +300,7 @@ def test_match_new_stages_through_catalog_and_resumes(spark, match_new_fixture):
     ).reset_index(drop=True)
     assert d1[["record_id", "canon_id"]].equals(d2[["record_id", "canon_id"]])
     hits = {m["stage"] for m in child.metrics() if m.get("event") == "resume_hit"}
-    assert {"gazetteer_matches", "unmatched_new", "entity_map"} <= hits
+    assert {"gazetteer_matches", "entity_map"} <= hits
 
 
 def test_match_new_without_catalog_still_works(spark, match_new_fixture):
@@ -552,3 +554,80 @@ def test_first_initial_matches_full_first_name(spark):
     assert first[2] < 0.8  # wrong initial is a mismatch, not an abbreviation
     assert first[3] == 1.0
     assert (d["d_name_name__last"] > 0.999).all()
+
+
+def test_match_new_closes_in_batch_chains(spark):
+    """new-B ~ new-A ~ existing-X where only A clears the gazetteer
+    threshold: close_chains=True (default) lands B in X's entity via its
+    in-batch cluster with A; close_chains=False reproduces the old
+    unmatched-only behavior (B becomes its own new entity)."""
+    from sparklink.linkage import SparkGazetteer
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.score import FieldModel
+
+    art = json.load(open("models/transcript_model.json"))
+    model = FieldModel.from_json(json.dumps(art))
+
+    shared = [
+        "hello I need help with my cloud storage quota being exceeded",
+        "sure let me look up the storage account details for you today",
+        "the quota shows eighty five percent utilisation on the main bucket",
+    ]
+    unique_a = [
+        "also please rotate the access keys zqx for vault kharbum seven",
+        "done the new keys vrlp are active and the old pair is revoked",
+        "thanks confirming ticket muzvo four four one closed as resolved",
+    ]
+    # B opens with A's (and X's) first turn so the prefix/token predicates
+    # block B with A; the rest of B is a drift of A's UNIQUE tail, so
+    # B ~ A is strong while B ~ X rests on one turn only
+    drift_b = [
+        shared[0],
+        "also please rotate the access keys zqx for vault kharbum seven now",
+        "done the new keys vrlp are active and old pair has been revoked",
+        "thank you confirming the ticket muzvo four four one is now resolved",
+        "and the vault kharbum seven access rotation is logged for audit",
+    ]
+
+    def conv(cid, texts):
+        return [(cid, i, "user" if i % 2 == 0 else "assistant", t, None, None) for i, t in enumerate(texts)]
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # X: shared + filler unrelated to A/B's unique tail
+    x_rows = conv("x1", shared + [
+        "separately the billing invoice for march needs a manual adjustment",
+        "applied the credit of forty units to the march billing statement",
+        "great that settles the invoice discrepancy we discussed earlier",
+    ])
+    a_rows = conv("a1", shared + unique_a)   # half X's content, half unique
+    b_rows = conv("b1", drift_b)  # mostly A's unique tail, one turn of X's
+    base_t = spark.createDataFrame(x_rows, schema)
+    new_t = spark.createDataFrame(a_rows + b_rows, schema)
+
+    dd = SparkDedupe(model=model, threshold=0.5)
+    base_records = dd.canonical_records(base_t)
+    em_base = base_records.select(
+        F.col("conv_id").alias("record_id"),
+        F.col("conv_id").alias("canon_id"),
+        F.lit(None).cast("double").alias("cluster_score"),
+    )
+
+    # pick a threshold strictly between score(A,X) and score(B,X)
+    gaz = SparkGazetteer(model=model, predicates=dd.predicates, threshold=0.0)
+    gaz.index(base_records)
+    new_records = dd.canonical_records(new_t)
+    s = {r["messy_id"]: r["score"] for r in gaz.search(new_records, n_matches=1).collect()}
+    gaz.unindex()
+    s_b = s.get("b1", 0.0)  # B may produce no X candidate at all — stronger still
+    assert s["a1"] > s_b, f"fixture must separate A/B vs X: {s}"
+    thr = (s["a1"] + s_b) / 2.0
+
+    closed = dd.match_new(new_t, base_records, em_base, threshold=thr)
+    got = {r["record_id"]: r["canon_id"] for r in closed.collect()}
+    assert got["a1"] == "x1"  # gazetteer assignment
+    assert got["b1"] == "x1"  # chain-closed through A's in-batch cluster
+
+    legacy = dd.match_new(new_t, base_records, em_base, threshold=thr, close_chains=False)
+    got_legacy = {r["record_id"]: r["canon_id"] for r in legacy.collect()}
+    assert got_legacy["a1"] == "x1"
+    assert got_legacy["b1"] == "b1"  # old behavior: B is a new entity
