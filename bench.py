@@ -224,22 +224,34 @@ def _scaling_summary() -> dict | None:
     path = os.path.join(REPO, "bench_results", "scaling_r4.jsonl")
     if not os.path.exists(path):
         return None
-    wall, cpu = [], []
+    wall, cpu, n_gated = [], [], 0
     for line in open(path):
         try:
             r = json.loads(line)
         except ValueError:
             continue
-        if r.get("unit") == "fraction" and "_1_to_4" in str(r.get("metric")):
-            wall.append(r["value"])
-            if r.get("cpu_efficiency"):
-                cpu.append(r["cpu_efficiency"])
+        if r.get("metric") != "scoring_scaling_efficiency_1_to_4":
+            continue
+        wall.append(r["value"])
+        if r.get("cpu_efficiency"):
+            cpu.append(r["cpu_efficiency"])
+        if r.get("gated"):
+            n_gated += 1
+
     if not wall:
         return None
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+
+    def med(xs: list) -> float:
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return round(xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2.0, 3)
+
     return {
         "pair": "local[1] vs local[4], taskset-pinned, JIT-steady-state",
         "n_readings": len(wall),
+        # readings whose pre/mid/post host probes all held in-band; the
+        # others ran in windows that collapsed mid-run (probes in the file)
+        "n_gated": n_gated,
         "wall_efficiency_median": med(wall),
         "cpu_efficiency_median": med(cpu) if cpu else None,
         "source": "bench_results/scaling_r4.jsonl (bench.py --scaling-scoring)",
@@ -355,7 +367,12 @@ def main_er_once(cpus: str) -> None:
 
 
 def _score_prep_dir(entities: int) -> str:
-    return f"{FIXTURE_DIR}/scoreprep_e{entities}"
+    # keyed like ensure_fixture: a vocab_scale/seed change must invalidate
+    # the prepped records/blocking_map, not silently reuse a stale corpus
+    vocab_scale = int(os.environ.get("SPARK_GRAFT_BENCH_VOCAB_SCALE", "1"))
+    seed = 42
+    suffix = f"_v{vocab_scale}" if vocab_scale > 1 else ""
+    return f"{FIXTURE_DIR}/scoreprep_e{entities}_s{seed}{suffix}"
 
 
 def main_score_prep() -> None:
@@ -566,8 +583,12 @@ def main_scaling_scoring() -> None:
             cmd,
             capture_output=True, text=True, cwd=REPO, env=env,
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[n] = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scoring leg local[{n}] failed (rc={out.returncode}): {out.stderr[-2000:]}"
+            )
+        results[n] = json.loads(lines[-1])
         probes[tag] = probe_host_capacity()
     tp_lo, tp_hi = results[pair[0]]["scored_pairs_per_sec"], results[pair[1]]["scored_pairs_per_sec"]
     cpus = {n: results[n].get("cpu_seconds") for n in pair}

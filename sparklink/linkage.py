@@ -122,7 +122,15 @@ class SparkGazetteer:
             self._canonical = catalog.stage("gazetteer_canonical", params, lambda: canonical_records)
             idx = catalog.stage("gazetteer_index", params, idx_thunk)
         else:
-            self._canonical = canonical_records
+            # cache the canonical records alongside the index: downstream
+            # hydration/token stats probe partition counts, and an
+            # un-materialized aggregate-derived frame refuses the probe
+            # (util.widen_to_parallelism), serializing the token explode
+            # on narrow local inputs; cached frames probe free. The
+            # catalog branch gets the same property from the staged scan.
+            self._canonical = canonical_records.persist()
+            self._canonical.count()
+            self._own_canonical = True
             idx = idx_thunk()
         self._index = idx.persist()
         self._index.count()
@@ -139,6 +147,9 @@ class SparkGazetteer:
         if self._index is not None:
             self._index.unpersist()
             self._index = None
+        if getattr(self, "_own_canonical", False) and self._canonical is not None:
+            self._canonical.unpersist()
+            self._own_canonical = False
 
     def _scored(self, messy_records: DataFrame) -> DataFrame:
         assert self._index is not None, "call index(canonical) first"

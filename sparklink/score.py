@@ -232,12 +232,14 @@ def _address_components(c: Column) -> Column:
     # ('suite 100 b'), compared space/hyphen-insensitively so
     # 'suite 100 b' ≡ 'suite 100b' ≡ 'ste 100-b'. The two-token cap keeps
     # a LEADING unit ('unit b main street') from swallowing the street.
-    unit_raw = F.regexp_extract(a, r"(?:apt|unit|suite|ste|#)\.?\s*([0-9a-z-]+(?: [0-9a-z-]+)?)\s*$", 1)
+    # \b anchor: without it the marker matches INSIDE street-name words
+    # ('we[ste]rn ave', 'che[ste]r st') and corrupts both components
+    unit_raw = F.regexp_extract(a, r"(?:\b(?:apt|unit|suite|ste)\.?|#)\s*([0-9a-z-]+(?: [0-9a-z-]+)?)\s*$", 1)
     unit = F.nullif(F.regexp_replace(unit_raw, r"[ -]", ""), F.lit(""))
     street = _normalize_street(
         F.regexp_replace(
             F.regexp_replace(a, r"^\s*\d+\s*", ""),
-            r"(?:apt|unit|suite|ste|#)\.?\s*[0-9a-z-]+(?: [0-9a-z-]+)?\s*$",
+            r"(?:\b(?:apt|unit|suite|ste)\.?|#)\s*[0-9a-z-]+(?: [0-9a-z-]+)?\s*$",
             "",
         )
     )

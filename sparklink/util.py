@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame
 # shuffle and stays probeable.
 _SHUFFLE_NODE_RE = re.compile(
     r"(?m)^[\s:+-]*(Aggregate|Join|Window|Sort|Distinct|Deduplicate|"
-    r"Repartition \d+, true|RepartitionByExpression|Expand|GlobalLimit|CoGroup|FlatMapGroupsInPandas)(?=[\s\[,]|$)"
+    r"Repartition \d+, true|RepartitionByExpression|Expand|GlobalLimit|CoGroup|"
+    r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|Intersect|Except)(?=[\s\[,]|$)"
 )
 
 
@@ -33,6 +34,11 @@ def _partition_probe_is_free(df: DataFrame) -> bool:
             return True
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # pragma: no cover - py4j edge
+        return False
+    # spark.sql.maxPlanStringLength truncates toString(): a shuffle node
+    # past the cap would be invisible to the regex, so a near-cap string
+    # is treated as unsafe (scan-only plans never get that large)
+    if len(plan) >= 90_000:
         return False
     return _SHUFFLE_NODE_RE.search(plan) is None
 

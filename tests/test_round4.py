@@ -631,3 +631,92 @@ def test_match_new_closes_in_batch_chains(spark):
     got_legacy = {r["record_id"]: r["canon_id"] for r in legacy.collect()}
     assert got_legacy["a1"] == "x1"
     assert got_legacy["b1"] == "b1"  # old behavior: B is a new entity
+
+
+# ---------------------------------------------------------------------------
+# round-4 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_address_unit_marker_needs_word_boundary(spark):
+    """'ste' inside 'western'/'chester' must NOT parse as a suite marker:
+    the pair ('100 western ave', '100 western avenue') differs only in
+    street-type abbreviation and must score street-equal with a neutral
+    unit, not a fabricated unit conflict."""
+    from sparklink.score import FieldModel, Variable
+
+    pairs = spark.createDataFrame(
+        [
+            ("100 western ave", "100 western avenue"),
+            ("12 chester st", "12 chester street"),
+            ("5 baptist rd apt 3b", "5 baptist road apt 3-b"),  # real unit still parses
+        ],
+        "addr_a string, addr_b string",
+    )
+    m = FieldModel(variables=[Variable("addr", "address", has_missing=False)])
+    d = m.distance_frame(pairs).toPandas()
+    assert (d["d_address_addr__street"] > 0.999).all(), d["d_address_addr__street"].tolist()
+    assert (d["d_address_addr__unit"] == 1.0).all(), d["d_address_addr__unit"].tolist()
+    assert (d["d_address_addr__number"] == 1.0).all()
+
+
+def test_partition_probe_refuses_intersect_and_truncated_plans(spark):
+    from sparklink.util import _partition_probe_is_free
+
+    a = spark.range(10).toDF("x")
+    b = spark.range(5).toDF("x")
+    assert _partition_probe_is_free(a)
+    assert not _partition_probe_is_free(a.intersect(b))
+    assert not _partition_probe_is_free(a.exceptAll(b))
+    # a plan string at the maxPlanStringLength cap can hide shuffle nodes
+    # past the truncation point — must be treated as unsafe
+    import pyspark.sql.functions as F
+
+    wide = a
+    for i in range(60):
+        wide = wide.withColumn(f"c{i}", F.concat(F.lit("v" * 400), F.col("x").cast("string")))
+    plan = wide._jdf.queryExecution().analyzed().toString()
+    if len(plan) >= 90_000:  # cap-dependent; holds under the session conf
+        assert not _partition_probe_is_free(wide)
+
+
+def test_gazetteer_caches_canonical_without_catalog(spark):
+    from sparklink.linkage import SparkGazetteer
+    from sparklink.pipeline import SparkDedupe
+
+    dd = SparkDedupe()
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "hello world example text", None, None),
+         ("c1", 1, "assistant", "sure thing happy to help", None, None),
+         ("c2", 0, "user", "another canonical record here", None, None),
+         ("c2", 1, "assistant", "of course let me check", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    recs = dd.canonical_records(t)  # aggregate-derived: refuses the partition probe uncached
+    gaz = SparkGazetteer(model=dd.model, predicates=dd.predicates, threshold=0.5)
+    gaz.index(recs)
+    assert gaz._canonical.is_cached  # probe-safe for widen_to_parallelism
+    gaz.unindex()
+    assert not gaz._canonical.is_cached
+
+
+def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monkeypatch):
+    import bench
+
+    lines = [
+        {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.70, "cpu_efficiency": 0.80, "gated": False},
+        {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.80, "cpu_efficiency": 0.90, "gated": True},
+        {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.90, "cpu_efficiency": 0.95},
+        {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.95, "cpu_efficiency": 0.97, "gated": True},
+        # must be EXCLUDED: different pair and a full-pipeline metric
+        {"metric": "scoring_scaling_efficiency_2_to_8", "value": 0.10, "cpu_efficiency": 0.10},
+        {"metric": "scaling_efficiency_1_to_4", "value": 0.10, "unit": "fraction"},
+    ]
+    d = tmp_path / "bench_results"
+    d.mkdir()
+    (d / "scaling_r4.jsonl").write_text("\n".join(json.dumps(r) for r in lines))
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    s = bench._scaling_summary()
+    assert s["n_readings"] == 4 and s["n_gated"] == 2
+    assert s["wall_efficiency_median"] == 0.85  # true even-count median
+    assert s["cpu_efficiency_median"] == 0.925
