@@ -708,8 +708,10 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
         {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.80, "cpu_efficiency": 0.90, "gated": True},
         {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.90, "cpu_efficiency": 0.95},
         {"metric": "scoring_scaling_efficiency_1_to_4", "value": 0.95, "cpu_efficiency": 0.97, "gated": True},
-        # must be EXCLUDED: different pair and a full-pipeline metric
+        # a different core pair: reported under its OWN rung, never mixed
+        # into the 1->4 headline fields
         {"metric": "scoring_scaling_efficiency_2_to_8", "value": 0.10, "cpu_efficiency": 0.10},
+        # full-pipeline metric (no scoring_ prefix): excluded entirely
         {"metric": "scaling_efficiency_1_to_4", "value": 0.10, "unit": "fraction"},
     ]
     d = tmp_path / "bench_results"
@@ -720,3 +722,12 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
     assert s["n_readings"] == 4 and s["n_gated"] == 2
     assert s["wall_efficiency_median"] == 0.85  # true even-count median
     assert s["cpu_efficiency_median"] == 0.925
+    # per-rung breakdown: 1_to_4 mirrors the headline, 2_to_8 is its own row
+    assert set(s["pairs"]) == {"1_to_4", "2_to_8"}
+    assert s["pairs"]["1_to_4"]["wall_efficiency_median"] == 0.85
+    assert s["pairs"]["2_to_8"] == {
+        "n_readings": 1,
+        "n_gated": 0,
+        "wall_efficiency_median": 0.1,
+        "cpu_efficiency_median": 0.1,
+    }
