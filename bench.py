@@ -279,33 +279,36 @@ def _scaling_summary() -> dict | None:
 
 def probe_host_capacity(n_procs: int = 8, dur: float = 4.0) -> float:
     """Measured effective-core ratio of this sandbox: sustained numpy
-    throughput of n_procs processes vs 1. The VM advertises 32 vCPUs but
-    shares ~2 physical cores with co-tenants; scaling efficiency readings
-    must be interpreted against this ceiling (see BENCH.md)."""
+    throughput of n_procs single-threaded processes vs 1.
+
+    r4 fix: the original probe ran the 1-proc leg in the CURRENT process,
+    where OpenBLAS parallelizes even a 300x300 matmul across every
+    visible core (measured 31.9 CPU-s per wall-s on an idle 32-core
+    host) — so "single" was already whole-machine throughput and the
+    ratio saturated at ~1.0 regardless of how free the host was. Probe
+    readings of "~1 effective core" from earlier rounds conflated real
+    co-tenant load with this artifact. Both legs now run as fresh
+    spawned processes with OPENBLAS_NUM_THREADS=1 (set before numpy
+    loads its BLAS), so one proc means one core and an idle C-core host
+    reads ~min(n_procs, C)."""
     import multiprocessing as mp
 
-    import numpy as np  # noqa: F401
-
-    def burn(dur_s: float) -> int:
-        import time as _t
-
-        import numpy as _np
-
-        a = _np.random.rand(300, 300)
-        n = 0
-        t0 = _t.time()
-        while _t.time() - t0 < dur_s:
-            a @ a
-            n += 1
-        return n
-
-    single = burn(dur)
-    with mp.get_context("spawn").Pool(n_procs) as p:
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as p:
+        single = p.map(_burn_helper, [dur])[0]
+    with ctx.Pool(n_procs) as p:
         multi = sum(p.map(_burn_helper, [dur] * n_procs))
     return round(multi / max(single, 1), 2)
 
 
 def _burn_helper(dur_s: float) -> int:
+    import os as _os
+
+    # must land before the child's first numpy import (spawn ctx: fresh
+    # interpreter, numpy not yet loaded) — caps OpenBLAS at one thread so
+    # the probe counts processes, not BLAS fan-out
+    _os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    _os.environ["OMP_NUM_THREADS"] = "1"
     import time as _t
 
     import numpy as _np

@@ -32,6 +32,17 @@ def get_spark(
       change it anyway; size it with ``spark-submit --driver-memory``).
     Explicit arguments (master / shuffle_partitions / extra_conf) always win.
     """
+    # One BLAS thread per task: a Spark task is already the unit of
+    # parallelism, and this container's OpenBLAS otherwise fans every
+    # numpy matmul out across ALL visible cores (measured 31.9 CPU-s per
+    # wall-s for a single 300x300 matmul loop on the idle 32-core host) —
+    # 32 Arrow workers x 32 BLAS threads = 1024 runnable threads thrashing
+    # the same cores. Must land in the environment BEFORE the JVM starts:
+    # local-mode python workers are forked by the JVM, which inherits this
+    # process's env at launch. executorEnv carries the same cap to real
+    # multi-executor clusters. User-set values win.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     preset: dict[str, str] = {}
     if under_submit:
@@ -69,6 +80,8 @@ def get_spark(
         "spark.sql.maxPlanStringLength": "100000",
         "spark.sql.ui.explainMode": "simple",
     }
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        defaults[f"spark.executorEnv.{_v}"] = os.environ[_v]
     if not under_submit:
         defaults["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = SparkSession.builder.appName(app_name)

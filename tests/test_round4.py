@@ -731,3 +731,29 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
         "wall_efficiency_median": 0.1,
         "cpu_efficiency_median": 0.1,
     }
+
+
+def test_get_spark_caps_blas_threads_per_task(spark):
+    """A Spark task is the unit of parallelism; this container's OpenBLAS
+    otherwise fans a single numpy matmul across all 32 visible cores
+    (measured 31.9 CPU-s/wall-s), so 32 Arrow workers would run 1024
+    runnable BLAS threads. get_spark must cap BLAS at one thread in the
+    driver env (inherited by forked local-mode python workers) and carry
+    the same cap to real executors via executorEnv."""
+    import os
+
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        assert os.environ.get(v) == "1"
+        assert spark.conf.get(f"spark.executorEnv.{v}") == "1"
+    # and the cap genuinely reaches the python workers
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def worker_env():
+        import os as _os
+
+        return _os.environ.get("OPENBLAS_NUM_THREADS", "missing")
+
+    got = spark.range(1).select(worker_env().alias("v")).head()[0]
+    assert got == "1"
