@@ -301,6 +301,64 @@ def probe_host_capacity(n_procs: int = 8, dur: float = 4.0) -> float:
     return round(multi / max(single, 1), 2)
 
 
+def probe_stream_ceiling(n_low: int, n_high: int, dur: float = 3.0) -> float:
+    """The host's OWN wall-clock scaling efficiency for a trivially
+    parallel pure-streaming-memory workload (8 MB numpy copy+add per
+    proc, zero coordination) from n_low to n_high pinned cores.
+
+    This VM shares one DRAM interface across all 32 vCPUs: measured, the
+    embarrassingly parallel memcopy loop scales at only ~0.6 from 2->8
+    cores and ~0.3 toward 32, while cache-resident compute (the matmul
+    probe, the DP kernels) scales ~1.0. Any job with a streaming-memory
+    component (Tungsten row copies, shuffle, Arrow IPC) is bounded by
+    this curve ON THIS BOX — a reading at or above the ceiling means the
+    PLAN is not the bottleneck, the single box's DRAM is. A real N->4N
+    EXECUTOR scale-up adds a DRAM interface with every node, so the
+    ceiling does not exist there; reporting it alongside each efficiency
+    reading makes the sandbox number interpretable against the
+    north_rule's cluster criterion."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    # same total work on both legs, sized so the WIDE leg still runs a
+    # couple of seconds under full DRAM contention (too-small windows are
+    # dominated by worker spawn stagger and under-read the ceiling);
+    # median of 3 reps — DRAM delivery on this VM wobbles rep to rep
+    total = int(200 * n_high * dur / 3.0)
+    effs = []
+    for _ in range(3):
+        walls = {}
+        for n in (n_low, n_high):
+            iters = max(1, total // n)
+            with ctx.Pool(n) as p:
+                res = p.map(_stream_helper, [(c, iters) for c in range(n)])
+            walls[n] = max(res)
+        effs.append((walls[n_low] / walls[n_high]) / (n_high / n_low))
+    return round(sorted(effs)[1], 3)
+
+
+def _stream_helper(args: tuple) -> float:
+    cpu, iters = args
+    import os as _os
+
+    try:
+        _os.sched_setaffinity(0, {cpu})
+    except OSError:
+        pass
+    _os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    import time as _t
+
+    import numpy as _np
+
+    src = _np.random.rand(8 * 1024 * 1024 // 8)
+    dst = _np.empty_like(src)
+    t0 = _t.time()
+    for _ in range(iters):
+        _np.copyto(dst, src)
+        dst += 1.0
+    return _t.time() - t0
+
+
 def _burn_helper(dur_s: float) -> int:
     import os as _os
 
@@ -612,6 +670,11 @@ def main_scaling_scoring() -> None:
             )
         results[n] = json.loads(lines[-1])
         probes[tag] = probe_host_capacity()
+    # the host's own efficiency for embarrassingly parallel streaming-
+    # memory work at this core pair — the hardware bound any reading on
+    # this single box must be read against (one shared DRAM interface;
+    # a real N->4N executor cluster adds DRAM per node)
+    stream_ceiling = probe_stream_ceiling(pair[0], pair[1])
     tp_lo, tp_hi = results[pair[0]]["scored_pairs_per_sec"], results[pair[1]]["scored_pairs_per_sec"]
     cpus = {n: results[n].get("cpu_seconds") for n in pair}
     cpu_eff = (
@@ -629,6 +692,11 @@ def main_scaling_scoring() -> None:
                 # wall-clock divides by the added cores (see _tree_cpu_seconds)
                 "cpu_seconds": cpus,
                 "cpu_efficiency": cpu_eff,
+                # wall efficiency of a zero-coordination pure-memcopy
+                # workload at the same core pair, measured in the same
+                # window: the single-box hardware ceiling for any job
+                # with a streaming-memory component
+                "host_stream_ceiling": stream_ceiling,
                 "probes": probes,
                 "pinned_cores": pin,
                 "detail": results,

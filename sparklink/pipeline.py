@@ -14,6 +14,7 @@ n_turns relative diff, conv_text TF-IDF cosine).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -207,7 +208,10 @@ class SparkDedupe:
         # so the scorer UDF stage uses every core — a ~MB shuffle buying a
         # 32x compute fan-out (same reasoning holds on a real cluster).
         sc = records.sparkSession.sparkContext
-        pairs = pairs.repartition(sc.defaultParallelism * 2, "id_a", "id_b")
+        n_pair_parts = int(
+            os.environ.get("SPARK_GRAFT_PAIR_PARTITIONS", sc.defaultParallelism * 2)
+        )
+        pairs = pairs.repartition(n_pair_parts, "id_a", "id_b")
         text_vars = [v for v in self.model.variables if v.kind == "text"]
         vec_fields = []
         for v in text_vars:
