@@ -22,9 +22,21 @@ is on cluster decisions, with the LR weights fit to labeled pairs
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+
+# Rows per cache block in the DP kernels. At Arrow's 10k-row default
+# batch the batch-wide (B, L) temporaries (~8 live arrays x 48-64
+# iterations) stream ~0.5-1 GB through DRAM per batch; on a 32-core
+# box with one shared memory interface that collapses parallel wall
+# efficiency (measured 0.15-0.29 at 24 workers, tools/kernel_bench.py).
+# Blocking to ~1k rows keeps the working set (~1-2 MB) cache-resident,
+# and sorting rows by length first lets each block's DP loop stop at
+# the block's own max string length instead of the batch max.
+_DP_CHUNK = int(os.environ.get("SPARKLINK_DP_CHUNK", "1024"))
 
 # --------------------------------------------------------------------------
 # batch string encoding
@@ -81,6 +93,30 @@ def _trim_common(ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray)
     return ga, na.astype(np.int32), gb, nb.astype(np.int32)
 
 
+def _length_blocks(la: np.ndarray, lb: np.ndarray, chunk: int = 0):
+    """Yield (row_indices, block_max_len) cache blocks for the DP kernels.
+
+    Rows are sorted by max(la, lb) so each block is length-homogeneous:
+    the DP loop runs only to the block's own max length and the (rows,
+    len) temporaries stay cache-resident. Per-row results are exact and
+    bit-identical to the batch-wide loop — every DP recurrence here is
+    row-independent and left-to-right in the column index, so dropping
+    columns beyond the block max and regrouping rows changes no value.
+    """
+    chunk = chunk or _DP_CHUNK
+    B = len(la)
+    if B == 0:
+        return
+    key = np.maximum(la, lb)
+    if B <= chunk:
+        yield np.arange(B), int(key.max())
+        return
+    order = np.argsort(key, kind="stable")
+    for s in range(0, B, chunk):
+        idx = order[s : s + chunk]
+        yield idx, int(key[idx[-1]])
+
+
 def _equal_fastpath(a: pd.Series, b: pd.Series, equal_value: float, core) -> np.ndarray:
     """Skip the DP for rows where the strings are identical — the dominant
     case on near-duplicate candidate pairs (exact-equal normalized text).
@@ -112,7 +148,19 @@ def _levenshtein_core(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarr
         return np.zeros(0)
     la0, lb0 = la, lb  # normalize by original lengths
     ca, la, cb, lb = _trim_common(ca, la, cb, lb)
-    L = max_len
+    d = np.zeros(B, dtype=np.float32)
+    for idx, m in _length_blocks(la, lb):
+        if m:  # m == 0: both middles empty -> distance 0
+            d[idx] = _lev_block(ca[idx, :m], la[idx], cb[idx, :m], lb[idx], m)
+    # final division in float64: d and denom are exact small integers, so
+    # the normalized distance is the exact rational — bit-identical to any
+    # other engine computing levenshtein(a,b)/max(len) (oracle parity)
+    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float64)
+    return np.clip(d.astype(np.float64) / denom, 0.0, 1.0)
+
+
+def _lev_block(ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray, L: int) -> np.ndarray:
+    B = len(la)
     j_idx = np.arange(L + 1, dtype=np.float32)
     prev = np.broadcast_to(j_idx, (B, L + 1)).copy()
     for i in range(1, L + 1):
@@ -126,14 +174,9 @@ def _levenshtein_core(a: pd.Series, b: pd.Series, max_len: int = 64) -> np.ndarr
         # cur[j] = min_k<=j (tmp[k] + (j-k))  -> prefix-min scan
         cur = np.minimum.accumulate(tmp - j_idx, axis=1) + j_idx
         prev = np.where(active[:, None], cur, prev)
-    # after the loop `prev` holds, per batch row, the DP row for i=la
+    # after the loop `prev` holds, per block row, the DP row for i=la
     # (rows freeze once i exceeds their length); answer is column lb.
-    d = prev[np.arange(B), lb]
-    # final division in float64: d and denom are exact small integers, so
-    # the normalized distance is the exact rational — bit-identical to any
-    # other engine computing levenshtein(a,b)/max(len) (oracle parity)
-    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float64)
-    return np.clip(d.astype(np.float64) / denom, 0.0, 1.0)
+    return prev[np.arange(B), lb]
 
 
 # --------------------------------------------------------------------------
@@ -151,7 +194,27 @@ def _jaro_winkler_core(a: pd.Series, b: pd.Series, max_len: int = 64, prefix_sca
     B = len(la)
     if B == 0:
         return np.zeros(0)
-    L = max_len
+    m = np.zeros(B, dtype=np.float32)
+    t = np.zeros(B, dtype=np.float32)
+    for idx, mx in _length_blocks(la, lb):
+        if mx:  # mx == 0: both empty -> m = t = 0
+            m[idx], t[idx] = _jaro_block(ca[idx, :mx], la[idx], cb[idx, :mx], lb[idx], mx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / np.where(m > 0, m, 1)) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    both_empty = (la == 0) & (lb == 0)
+    jaro = np.where(both_empty, 1.0, jaro)
+    # Winkler common-prefix boost (<=4)
+    pref_eq = np.cumprod((ca[:, :4] == cb[:, :4]) & (ca[:, :4] != 0), axis=1)
+    prefix = pref_eq.sum(axis=1).astype(np.float32)
+    return (jaro + prefix * prefix_scale * (1.0 - jaro)).astype(np.float64)
+
+
+def _jaro_block(
+    ca: np.ndarray, la: np.ndarray, cb: np.ndarray, lb: np.ndarray, L: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Match count and transpositions for one length-homogeneous block."""
+    B = len(la)
     match_dist = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (B,)
     j_pos = np.arange(L)
     valid_b = j_pos[None, :] < lb[:, None]
@@ -181,15 +244,7 @@ def _jaro_winkler_core(a: pd.Series, b: pd.Series, max_len: int = 64, prefix_sca
     slot_b = np.cumsum(matched_j, axis=1)[rb, jb] - 1
     out_b[rb, slot_b] = cb[rb, jb]
     t = ((out_a != out_b) & (out_a != 0)).sum(axis=1).astype(np.float32) / 2.0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jaro = (m / np.maximum(la, 1) + m / np.maximum(lb, 1) + (m - t) / np.where(m > 0, m, 1)) / 3.0
-    jaro = np.where(m > 0, jaro, 0.0)
-    both_empty = (la == 0) & (lb == 0)
-    jaro = np.where(both_empty, 1.0, jaro)
-    # Winkler common-prefix boost (<=4)
-    pref_eq = np.cumprod((ca[:, :4] == cb[:, :4]) & (ca[:, :4] != 0), axis=1)
-    prefix = pref_eq.sum(axis=1).astype(np.float32)
-    return (jaro + prefix * prefix_scale * (1.0 - jaro)).astype(np.float64)
+    return m, t
 
 
 # --------------------------------------------------------------------------
@@ -229,7 +284,27 @@ def _affine_gap_core(
         return np.zeros(0)
     la0, lb0 = la, lb  # normalize by original lengths
     ca, la, cb, lb = _trim_common(ca, la, cb, lb)
-    L = max_len
+    final = np.zeros(B, dtype=np.float32)
+    for idx, m in _length_blocks(la, lb):
+        if m:  # m == 0: both middles empty -> distance 0
+            final[idx] = _affine_block(
+                ca[idx, :m], la[idx], cb[idx, :m], lb[idx], m, mismatch, gap_open, gap_extend
+            )
+    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float32)
+    return np.clip(final / denom, 0.0, 1.0).astype(np.float64)
+
+
+def _affine_block(
+    ca: np.ndarray,
+    la: np.ndarray,
+    cb: np.ndarray,
+    lb: np.ndarray,
+    L: int,
+    mismatch: float,
+    gap_open: float,
+    gap_extend: float,
+) -> np.ndarray:
+    B = len(la)
     INF = np.float32(1e9)
     j_idx = np.arange(L + 1, dtype=np.float32)
     # row 0: aligning prefix of b against empty prefix of a = gap
@@ -266,8 +341,7 @@ def _affine_gap_core(
         best_prev = np.where(active[:, None], best, best_prev)
         M_prev = np.where(active[:, None], M_cur, M_prev)
         X_prev = np.where(active[:, None], X_cur, X_prev)
-    denom = np.maximum(np.maximum(la0, lb0), 1).astype(np.float32)
-    return np.clip(final / denom, 0.0, 1.0).astype(np.float64)
+    return final
 
 
 # --------------------------------------------------------------------------

@@ -20,16 +20,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def candidate_pairs(blocking_map: DataFrame) -> DataFrame:
-    """(block_key, record_id) self-join -> distinct (id_a, id_b), id_a < id_b."""
+def candidate_pairs(blocking_map: DataFrame, pair_slice: tuple[int, int] | None = None) -> DataFrame:
+    """(block_key, record_id) self-join -> distinct (id_a, id_b), id_a < id_b.
+
+    ``pair_slice=(k, K)`` keeps only pairs with xxhash64(id_a,id_b) ≡ k
+    (mod K) — a deterministic disjoint partition of the pair set; the K
+    slices together are exactly the full set. This is how a K-executor
+    fleet divides one scoring job (each executor owns a hash range), and
+    what bench.py's N-vs-4N *executor* scaling proxy uses. The filter
+    runs BEFORE dropDuplicates (duplicates of a pair share its hash, so
+    slice-local dedup is exact), keeping the dedup hash-agg sliced too.
+    """
     l = blocking_map.select(F.col("block_key"), F.col("record_id").alias("id_a"))
     r = blocking_map.select(F.col("block_key"), F.col("record_id").alias("id_b"))
-    return (
-        l.join(r, "block_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    j = l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    if pair_slice is not None:
+        k, num = pair_slice
+        j = j.filter(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(num)) == F.lit(k))
+    return j.dropDuplicates(["id_a", "id_b"])
 
 
 def candidate_pairs_cross(bm_left: DataFrame, bm_right: DataFrame) -> DataFrame:

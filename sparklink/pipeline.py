@@ -265,17 +265,18 @@ class SparkDedupe:
             "id_b", F.expr("substring(id_b, 3)")
         )
 
-    def scored_pairs(self, records: DataFrame, bm: DataFrame) -> DataFrame:
+    def scored_pairs(
+        self, records: DataFrame, bm: DataFrame, pair_slice: tuple[int, int] | None = None
+    ) -> DataFrame:
         def thunk():
-            cand = P.candidate_pairs(bm)
+            cand = P.candidate_pairs(bm, pair_slice=pair_slice)
             withd = self._pair_features(records, cand)
             return self.model.score(withd).select("id_a", "id_b", *self.model.feature_cols(), "score")
 
-        return self._stage(
-            "scored_pairs",
-            {"model": self.model.to_json(), "upstream": self._upstream("blocking_map")},
-            thunk,
-        )
+        params = {"model": self.model.to_json(), "upstream": self._upstream("blocking_map")}
+        if pair_slice is not None:
+            params["pair_slice"] = list(pair_slice)
+        return self._stage("scored_pairs", params, thunk)
 
     def fit(self, records: DataFrame, labeled_pairs: DataFrame, recall_weight: float = 1.0) -> None:
         """Fit LR weights from labeled pairs (FIXTURES.md §4; replaces the

@@ -95,3 +95,18 @@ def test_tfidf_canopy_rare_tokens_win(spark):
     assert by_rec["c1"] == by_rec["c2"]
     assert by_rec["c3"] == by_rec["c4"]
     assert by_rec["c1"] != by_rec["c3"]
+
+
+def test_candidate_pairs_slices_partition_the_full_set(spark):
+    """pair_slice=(k, K) must be a disjoint exact cover of candidate_pairs
+    (the N-vs-4N executor scaling proxy splits the scoring job this way)."""
+    rows = [(f"b{i % 7}", f"r{i}") for i in range(40)] + [("b0", "r1"), ("b1", "r1")]
+    bm = spark.createDataFrame(rows, ["block_key", "record_id"])
+    full = {(r.id_a, r.id_b) for r in candidate_pairs(bm).collect()}
+    K = 4
+    parts = [
+        {(r.id_a, r.id_b) for r in candidate_pairs(bm, pair_slice=(k, K)).collect()}
+        for k in range(K)
+    ]
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full)  # disjoint

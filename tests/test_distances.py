@@ -129,3 +129,30 @@ def test_long_strings_capped_not_crashing():
     b = pd.Series(["x" * 4999 + "y"])
     assert 0.0 <= levenshtein(a, b)[0] <= 1.0
     assert 0.0 <= affine_gap(a, b)[0] <= 1.0
+
+
+@pytest.mark.parametrize("fn", [levenshtein, jaro_winkler, affine_gap])
+def test_cache_block_chunk_invariance(fn):
+    """The DP kernels process length-sorted cache blocks; per-row results
+    must be bit-identical for ANY block size (incl. one block == the old
+    batch-wide loop) and invariant to input row order."""
+    import sparklink.distances as D
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdef -'")
+    mk = lambda: "".join(rng.choice(alpha, size=int(rng.integers(0, 70))))
+    a = pd.Series([mk() for _ in range(4000)] + ["", "a", None])
+    b = pd.Series([mk() for _ in range(4000)] + [None, "", "a"])
+    saved = D._DP_CHUNK
+    try:
+        D._DP_CHUNK = 10**9  # single block: the unblocked reference
+        ref = fn(a, b)
+        for chunk in (17, 256, 1024):
+            D._DP_CHUNK = chunk
+            assert np.array_equal(fn(a, b), ref), chunk
+    finally:
+        D._DP_CHUNK = saved
+    # row-order invariance: results permute with the rows
+    perm = rng.permutation(len(a))
+    out_perm = fn(a.iloc[perm].reset_index(drop=True), b.iloc[perm].reset_index(drop=True))
+    assert np.array_equal(out_perm, ref[perm])

@@ -61,9 +61,10 @@ def main() -> None:
             SPARK_GRAFT_SCALE_REPS=os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"),
         )
         open(out_path + ".running", "w").write(str(time.time()))
-        mode_flag = (
-            "--scaling-scoring" if os.environ.get("SPARK_GRAFT_SCALE_MODE") == "scoring" else "--scaling"
-        )
+        mode_flag = {
+            "scoring": "--scaling-scoring",
+            "executors": "--scaling-executors",
+        }.get(os.environ.get("SPARK_GRAFT_SCALE_MODE", ""), "--scaling")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), mode_flag],

@@ -70,9 +70,10 @@ def main() -> None:
     # serial leg: 1 pinned worker
     with ctx.Pool(1) as p:
         serial = p.map(_run_kernels, [(0, n, 1)])[0]
-    # parallel leg: P pinned workers, same per-worker batch
+    # parallel leg: P pinned workers, IDENTICAL batch per worker (same
+    # seed — differing batches confound the serial/parallel comparison)
     with ctx.Pool(procs) as p:
-        par = p.map(_run_kernels, [(c, n, 100 + c) for c in range(procs)])
+        par = p.map(_run_kernels, [(c, n, 1) for c in range(procs)])
     import json
 
     rep = {}
