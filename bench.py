@@ -10,6 +10,15 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 input (the sandbox proxy for N vs 4N executors, BASELINE.md) and print
 throughput at both plus efficiency; used to produce BENCH.md.
 
+--scaling-scoring mode: single-JVM local[N] vs local[4N] on the scoring
+job only (prepped records + blocking map), taskset-pinned, JIT-warmed,
+with process-tree CPU accounting. --scaling-executors mode: N vs 4N
+EXECUTORS as 1 vs 4 concurrent pinned JVMs; each executor scores its
+hash-slice of a pre-staged hydrated pair frame ($SPARK_GRAFT_EXEC_STAGE
+=score_hyd, default — a real cluster distributes the upstream join once,
+so leg B must not re-run it per JVM; =full replays the whole scored_pairs
+plan per executor for comparison).
+
 The ER headline job is the full pipeline (canonicalize -> block -> pairs ->
 vectorized scoring -> connected components) over a deterministic synthetic
 transcript corpus (sparklink.synth, seeded; no external data), sized by
@@ -470,6 +479,19 @@ def main_score_prep() -> None:
     records = spark.read.parquet(f"{out}/records.parquet")
     dd.blocking_map(records).write.mode("overwrite").parquet(f"{out}/blocking_map.parquet")
     open(f"{out}/_DONE", "w").write("ok")
+    # ALSO stage the hydrated pair frame, hash-partitioned into the 4
+    # slices the N-vs-4N executor mode scores (each executor reads ONLY
+    # its slice directory — partition pruning, like owning a shuffle
+    # partition range on a real cluster). Written after _DONE so stale
+    # prep dirs from earlier rounds are detected via _DONE_HYD.
+    from pyspark.sql import functions as F
+
+    bm = spark.read.parquet(f"{out}/blocking_map.parquet")
+    hyd = dd.hydrated_pairs(records, bm).withColumn(
+        "slice", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(4))
+    )
+    hyd.write.mode("overwrite").partitionBy("slice").parquet(f"{out}/hyd.parquet")
+    open(f"{out}/_DONE_HYD", "w").write("ok")
     print(json.dumps({"prep": out}))
 
 
@@ -662,6 +684,68 @@ def main_score_once(cpus: str) -> None:
     )
 
 
+def main_score_hyd_once(cpus: str) -> None:
+    """Fresh JVM: read the PRE-MATERIALIZED hydrated pair frame (or one
+    hash-slice directory of it, SPARK_GRAFT_HYD_SLICE=k) and run ONLY the
+    scoring stage (distance UDFs + LR score), every output column forced.
+
+    This is the per-executor unit of the N-vs-4N EXECUTOR proxy: on a
+    real cluster the upstream candidate join + hydration is ONE
+    distributed stage whose shuffle output the scoring tasks consume —
+    no executor re-runs it. Re-running the full scored_pairs plan per
+    slice JVM (the --score-once path) charges 4 copies of the upstream
+    to leg B, a penalty of the emulation, not the plan; reading the
+    staged frame restores the cluster's actual division of labor."""
+    spark = _get_spark(f"local[{cpus}]")
+    out = _score_prep_dir(BENCH_ENTITIES)
+    from pyspark.sql import functions as F
+
+    from sparklink.pipeline import SparkDedupe, default_transcript_predicates
+    from sparklink.score import jaro_winkler_udf
+
+    model, threshold = load_static_model()
+    dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+    hyd = spark.read.parquet(f"{out}/hyd.parquet")
+    slice_env = os.environ.get("SPARK_GRAFT_HYD_SLICE", "")
+    if slice_env != "":
+        # partition-pruned scan: only the slice=k directory is read
+        hyd = hyd.where(F.col("slice") == int(slice_env))
+    # warm python/Arrow workers + JVM JIT exactly like --score-once
+    warm = spark.range(0, int(cpus) * 4, 1, int(cpus) * 4).select(
+        jaro_winkler_udf(F.lit("warm"), F.lit("worm")).alias("d")
+    )
+    warm.agg(F.sum("d")).collect()
+    if os.environ.get("SPARK_GRAFT_SCORE_WARMRUN", "1") == "1":
+        _materialize(dd.score_hydrated(hyd))
+    start_at = float(os.environ.get("SPARK_GRAFT_START_AT", "0") or 0)
+    if start_at:
+        delay = start_at - time.time()
+        if delay > 0:
+            time.sleep(delay)
+    cpu0 = _tree_cpu_seconds(os.getpid())
+    bd0 = _tree_cpu_breakdown(os.getpid())
+    t0 = time.time()
+    n = _materialize(dd.score_hydrated(hyd))
+    dt = time.time() - t0
+    cpu = _tree_cpu_seconds(os.getpid()) - cpu0
+    bd1 = _tree_cpu_breakdown(os.getpid())
+    print(
+        json.dumps(
+            {
+                "n_scored_pairs": n,
+                "sec_scoring": round(dt, 2),
+                "scored_pairs_per_sec": round(n / dt, 1),
+                "cpu_seconds": round(cpu, 1),
+                "cpu_breakdown": {k: round(bd1[k] - bd0[k], 1) for k in bd1},
+                "warm_run": os.environ.get("SPARK_GRAFT_SCORE_WARMRUN", "1") == "1",
+                "pair_slice": slice_env or None,
+                "t_start": round(t0, 2),
+                "t_end": round(t0 + dt, 2),
+            }
+        )
+    )
+
+
 def main_scaling_scoring() -> None:
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     entities = int(os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "8000"))
@@ -752,6 +836,12 @@ def main_scaling_executors() -> None:
     entities = int(os.environ.get("SPARK_GRAFT_SCALE_ENTITIES", "8000"))
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # which per-executor job: "score_hyd" (default — score a staged
+    # hydrated-pair slice, the cluster's real division of labor; see
+    # main_score_hyd_once) or "full" (re-run candidate join + hydration
+    # + scoring per JVM — charges 4 replicated upstreams to leg B)
+    stage = os.environ.get("SPARK_GRAFT_EXEC_STAGE", "score_hyd")
+    once_cmd = "--score-hyd-once" if stage == "score_hyd" else "--score-once"
     n_execs = 4
     env = dict(
         os.environ,
@@ -760,14 +850,15 @@ def main_scaling_executors() -> None:
         # real one instead of the single-JVM bench default (48g)
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
     )
-    if not os.path.exists(f"{_score_prep_dir(entities)}/_DONE"):
+    done_marker = "_DONE_HYD" if stage == "score_hyd" else "_DONE"
+    if not os.path.exists(f"{_score_prep_dir(entities)}/{done_marker}"):
         subprocess.run([sys.executable, __file__, "--score-prep"], cwd=REPO, env=env, check=True)
 
     def leg_a() -> dict:
         best = None
         for _ in range(max(reps, 1)):
             out = subprocess.run(
-                ["taskset", "-c", f"0-{exec_cores - 1}", sys.executable, __file__, "--score-once", str(exec_cores)],
+                ["taskset", "-c", f"0-{exec_cores - 1}", sys.executable, __file__, once_cmd, str(exec_cores)],
                 capture_output=True, text=True, cwd=REPO, env=env,
             )
             lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -788,12 +879,15 @@ def main_scaling_executors() -> None:
                 cores = f"{k * exec_cores}-{(k + 1) * exec_cores - 1}"
                 penv = dict(
                     env,
-                    SPARK_GRAFT_PAIR_SLICE=f"{k}/{n_execs}",
                     SPARK_GRAFT_START_AT=str(start_at),
                 )
+                if stage == "score_hyd":
+                    penv["SPARK_GRAFT_HYD_SLICE"] = str(k)
+                else:
+                    penv["SPARK_GRAFT_PAIR_SLICE"] = f"{k}/{n_execs}"
                 procs.append(
                     subprocess.Popen(
-                        ["taskset", "-c", cores, sys.executable, __file__, "--score-once", str(exec_cores)],
+                        ["taskset", "-c", cores, sys.executable, __file__, once_cmd, str(exec_cores)],
                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO, env=penv,
                     )
                 )
@@ -839,6 +933,7 @@ def main_scaling_executors() -> None:
         json.dumps(
             {
                 "metric": f"scoring_scaling_efficiency_1x{exec_cores}core_to_4x{exec_cores}core_executors",
+                "stage": stage,
                 "value": round((tp_b / tp_a) / n_execs, 3),
                 "unit": "fraction",
                 "throughput": {"1_executor": tp_a, "4_executors": tp_b},
@@ -873,5 +968,7 @@ if __name__ == "__main__":
         main_score_prep()
     elif "--score-once" in sys.argv:
         main_score_once(sys.argv[sys.argv.index("--score-once") + 1])
+    elif "--score-hyd-once" in sys.argv:
+        main_score_hyd_once(sys.argv[sys.argv.index("--score-hyd-once") + 1])
     else:
         main_default()

@@ -187,16 +187,19 @@ class SparkDedupe:
                 )
         return bm
 
-    def _pair_features(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
-        """pairs(id_a, id_b[, label]) -> + all model distance columns.
+    def _hydrate_pairs(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
+        """pairs(id_a, id_b[, label]) -> hydrated pair frame (pre-distance).
 
         One hydration join per side carrying (a) 64-char prefixes for the
         string kernels (full text never crosses the shuffle) and (b) top-m
         tf-idf token-hash/weight arrays for Text comparators, whose cosine
         is a per-row Arrow-batched sparse dot — no pairs-x-tokens shuffle.
+        This is the shuffle-heavy JVM half of pair scoring; the CPU-bound
+        Arrow/pandas half is ``_features_from_hydrated``. Keeping them
+        separable lets a cluster stage the hydrated frame to storage and
+        run the scoring stage on a differently-sized fleet (the shape
+        bench.py's N-vs-4N executor proxy measures).
         """
-        from sparklink.score import sparse_dot_udf
-
         fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
         string_cols = {v.column for v in self.model.variables if v.kind in ("string", "shortstring", "levenshtein")}
         slim = records.select(
@@ -229,9 +232,17 @@ class SparkDedupe:
                 "left",
             )
             vec_fields += [f"tfh_{v.column}", f"tfw_{v.column}"]
-        hyd = P.hydrate(pairs, slim, fields + vec_fields)
+        return P.hydrate(pairs, slim, fields + vec_fields)
+
+    def _features_from_hydrated(self, hyd: DataFrame) -> DataFrame:
+        """Hydrated pair frame -> + all model distance columns (the
+        CPU-bound Arrow/pandas scoring stage; see ``_hydrate_pairs``)."""
+        from sparklink.score import sparse_dot_udf
+
         withd = self.model.distance_frame(hyd)
-        for v in text_vars:
+        for v in self.model.variables:
+            if v.kind != "text":
+                continue
             withd = withd.withColumn(
                 v.dist_col,
                 sparse_dot_udf(
@@ -242,6 +253,33 @@ class SparkDedupe:
                 ),
             )
         return withd
+
+    def _pair_features(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
+        """pairs(id_a, id_b[, label]) -> + all model distance columns."""
+        return self._features_from_hydrated(self._hydrate_pairs(records, pairs))
+
+    def hydrated_pairs(
+        self, records: DataFrame, bm: DataFrame, pair_slice: tuple[int, int] | None = None
+    ) -> DataFrame:
+        """Candidate pairs + both hydration joins, WITHOUT the distance /
+        scoring UDFs: the stage boundary a production cluster checkpoints.
+        Hydration is shuffle-bound (JVM); scoring is CPU-bound (Arrow +
+        pandas UDFs); materializing this frame lets the two run on
+        independently-sized fleets, and is how bench.py emulates an
+        N-vs-4N executor scale-up of the scoring stage (each executor
+        scores one hash-slice of the materialized frame).
+        """
+        return self._hydrate_pairs(records, P.candidate_pairs(bm, pair_slice=pair_slice))
+
+    def score_hydrated(self, hyd: DataFrame) -> DataFrame:
+        """Score a (possibly re-read) hydrated pair frame: distance UDFs +
+        LR score. Equivalent to the tail of ``scored_pairs`` (regression-
+        tested identical); accepts extra columns (e.g. a slice id) and
+        drops them."""
+        withd = self._features_from_hydrated(hyd)
+        return self.model.score(withd).select(
+            "id_a", "id_b", *self.model.feature_cols(), "score"
+        )
 
     def _pair_features_two(self, left: DataFrame, right: DataFrame, pairs: DataFrame) -> DataFrame:
         """Two-source variant of _pair_features. conv_ids may collide
@@ -269,9 +307,7 @@ class SparkDedupe:
         self, records: DataFrame, bm: DataFrame, pair_slice: tuple[int, int] | None = None
     ) -> DataFrame:
         def thunk():
-            cand = P.candidate_pairs(bm, pair_slice=pair_slice)
-            withd = self._pair_features(records, cand)
-            return self.model.score(withd).select("id_a", "id_b", *self.model.feature_cols(), "score")
+            return self.score_hydrated(self.hydrated_pairs(records, bm, pair_slice=pair_slice))
 
         params = {"model": self.model.to_json(), "upstream": self._upstream("blocking_map")}
         if pair_slice is not None:

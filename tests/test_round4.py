@@ -757,3 +757,49 @@ def test_get_spark_caps_blas_threads_per_task(spark):
 
     got = spark.range(1).select(worker_env().alias("v")).head()[0]
     assert got == "1"
+
+
+# ---------------------------------------------------------------------------
+# hydrated_pairs / score_hydrated: the staged stage boundary the N-vs-4N
+# executor proxy scores. Splitting scored_pairs at the hydration boundary
+# must not change a single score, and the 4 hash-slices of the staged
+# frame must score to exactly the full result (disjoint exact cover).
+# ---------------------------------------------------------------------------
+def test_score_hydrated_equals_scored_pairs(spark, fixture_dfs, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.score import FieldModel
+
+    transcripts, _, _ = fixture_dfs
+    art = _json.load(open("models/transcript_model.json"))
+    dd = SparkDedupe(model=FieldModel.from_json(_json.dumps(art)), threshold=float(art["threshold"]))
+    records = dd.canonical_records(transcripts)
+    bm = dd.blocking_map(records)
+
+    def key(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["score"], 9))
+            for r in df.select("id_a", "id_b", "score").collect()
+        }
+
+    full = key(dd.scored_pairs(records, bm))
+    assert full, "fixture produced no scored pairs"
+
+    # staged roundtrip: materialize the hydrated frame partitioned by the
+    # executor-mode slice hash, re-read, score — identical scores
+    hyd = dd.hydrated_pairs(records, bm).withColumn(
+        "slice", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(4))
+    )
+    path = str(tmp_path / "hyd.parquet")
+    hyd.write.partitionBy("slice").parquet(path)
+    staged = spark.read.parquet(path)
+    assert key(dd.score_hydrated(staged)) == full
+
+    # per-slice scoring is a disjoint exact cover of the full result
+    sliced = [key(dd.score_hydrated(staged.where(F.col("slice") == k))) for k in range(4)]
+    assert sum(len(s) for s in sliced) == len(full)
+    union = set().union(*sliced)
+    assert union == full
