@@ -262,10 +262,19 @@ def _scaling_summary() -> dict | None:
 
     out = {
         "pair": "local[N] vs local[4N], taskset-pinned, JIT-steady-state",
-        "source": "bench_results/scaling_r4.jsonl (bench.py --scaling-scoring)",
+        "source": "bench_results/scaling_r4.jsonl (bench.py --scaling-scoring / --scaling-executors)",
         "pairs": {},
     }
-    for key in sorted(pairs, key=lambda k: int(k.split("_")[0])):
+    def rung_order(k: str) -> tuple:
+        # thread rungs are "1_to_4"; executor rungs are
+        # "1x8core_to_4x8core_executors" — sort threads first, then
+        # executor rungs by per-executor core count
+        head = k.split("_")[0]
+        if "x" in head:
+            return (1, int(head.split("x")[1].rstrip("core")))
+        return (0, int(head))
+
+    for key in sorted(pairs, key=rung_order):
         g = pairs[key]
         out["pairs"][key] = {
             "n_readings": len(g["wall"]),

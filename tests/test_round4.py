@@ -713,6 +713,9 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
         {"metric": "scoring_scaling_efficiency_2_to_8", "value": 0.10, "cpu_efficiency": 0.10},
         # full-pipeline metric (no scoring_ prefix): excluded entirely
         {"metric": "scaling_efficiency_1_to_4", "value": 0.10, "unit": "fraction"},
+        # multi-JVM executor rung: its own row, must not break the
+        # numeric rung sort or leak into the 1_to_4 headline
+        {"metric": "scoring_scaling_efficiency_1x8core_to_4x8core_executors", "value": 0.66, "cpu_efficiency": 0.73, "gated": True},
     ]
     d = tmp_path / "bench_results"
     d.mkdir()
@@ -723,7 +726,7 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
     assert s["wall_efficiency_median"] == 0.85  # true even-count median
     assert s["cpu_efficiency_median"] == 0.925
     # per-rung breakdown: 1_to_4 mirrors the headline, 2_to_8 is its own row
-    assert set(s["pairs"]) == {"1_to_4", "2_to_8"}
+    assert set(s["pairs"]) == {"1_to_4", "2_to_8", "1x8core_to_4x8core_executors"}
     assert s["pairs"]["1_to_4"]["wall_efficiency_median"] == 0.85
     assert s["pairs"]["2_to_8"] == {
         "n_readings": 1,
@@ -731,6 +734,9 @@ def test_scaling_summary_exact_metric_gated_count_and_true_median(tmp_path, monk
         "wall_efficiency_median": 0.1,
         "cpu_efficiency_median": 0.1,
     }
+    # executor rung sorts after the thread rungs and keeps its own stats
+    assert list(s["pairs"])[-1] == "1x8core_to_4x8core_executors"
+    assert s["pairs"]["1x8core_to_4x8core_executors"]["wall_efficiency_median"] == 0.66
 
 
 def test_get_spark_caps_blas_threads_per_task(spark):
