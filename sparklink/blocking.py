@@ -357,7 +357,15 @@ def cap_block_sizes(blocking_map: DataFrame, max_block_size: int = 200) -> DataF
     """Drop blocks larger than max_block_size (a block of size s yields
     s*(s-1)/2 pairs; one hot key — a ubiquitous token — squares the join).
     dedupe applies the same internal guard [lib]; the north_rule requires it
-    explicitly. The oversize list is tiny -> broadcast anti-join."""
+    explicitly. The oversize list is tiny -> broadcast anti-join.
+
+    Plan contract: the input is read TWICE (the sizes aggregate and the
+    anti-join probe). Callers whose map is an expensive plan should
+    persist/stage it first (pipeline.blocking_map does). This shape is
+    deliberate over a count-over-window filter: the groupBy combines
+    map-side so a degenerate hot key never ships its rows to one task,
+    whereas a window would shuffle the entire hot block to a single
+    partition — the exact skew this cap exists to remove."""
     oversized = (
         blocking_map.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_block_size).select("block_key")
     )
