@@ -171,6 +171,21 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def neardup_buckets(
+    corpus: DataFrame,
+    planes: list,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cu, bk): unit vectors + banded hyperplane bucket keys —
+    the stage boundary of ``cosine_neardup_pairs``. Materialize this
+    frame once (parquet/checkpoint) and pass it as ``buckets`` when the
+    corpus is large; the pair plan reads it three times."""
+    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
+    return _with_buckets(c, "cu", planes, bands=bands, out_col="bk").select(id_col, "cu", "bk")
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -179,6 +194,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
@@ -187,9 +203,14 @@ def cosine_neardup_pairs(
     agreement p = 1 - angle/pi), then exact cosine >= threshold verifies.
     The 100 TB shape: per-band equi-joins on small buckets, never
     all-pairs; oversize buckets dropped like blocking.cap_block_sizes.
-    Returns (id_a, id_b, cos)."""
-    c = with_unit_vectors(corpus, vec_col).select(F.col(id_col), F.col("unit").alias("cu"))
-    bm = _with_buckets(c, "cu", planes, bands=bands, out_col="bk").select(id_col, "cu", "bk")
+    Returns (id_a, id_b, cos).
+
+    Plan contract: the bucketed frame is read THREE times (bucket-size
+    aggregate, anti-join probe, both sides of the self-join). At scale,
+    stage ``neardup_buckets(...)`` once and pass it as ``buckets``
+    (``corpus``/``vec_col`` are then ignored); left None it is computed
+    inline and the normalize+bucket scan re-evaluates per read."""
+    bm = buckets if buckets is not None else neardup_buckets(corpus, planes, bands=bands, id_col=id_col, vec_col=vec_col)
     oversized = bm.groupBy("bk").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket).select("bk")
     bm = bm.join(F.broadcast(oversized), "bk", "left_anti")
     l = bm.select("bk", F.col(id_col).alias("id_a"), F.col("cu").alias("ua"))

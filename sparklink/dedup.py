@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     max_bucket: int = 500,
     hash_mode: str = "xxhash",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over minhash sigs.
 
@@ -152,8 +153,17 @@ def minhash_lsh_pairs(
     est_jaccard) where est = fraction of agreeing minhashes.
     hash_mode='portable' additionally keys bands by the literal signature
     values (engine-portable; the DuckDB oracle reproduces it exactly).
+
+    Plan contract: the signature frame is read THREE times (bucket-size
+    aggregate, anti-join probe, and both sides of the bucket self-join).
+    At scale, materialize it once — ``minhash_signatures(...)`` written
+    to parquet or checkpointed — and pass it as ``sigs`` (same k /
+    shingle params; ``docs``/``text_col`` are then ignored). Left None,
+    the shingle explode + 32-min aggregate is re-evaluated per read —
+    fine at sandbox sizes, 3x the dominant cost at 100 TB.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n, hash_mode=hash_mode)
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n, hash_mode=hash_mode)
     r = k // bands
     if hash_mode == "portable":
         band_keys = F.array(

@@ -834,3 +834,39 @@ def test_blocking_map_persists_uncapped_input_once_and_releases(fixture_dfs):
     assert dd._held_frames == [] and not held[0].is_cached
     # the returned (capped) map still computes correctly after release
     assert bm.count() == n
+
+
+# ---------------------------------------------------------------------------
+# Staged-boundary parity for the dedup/ANN plan-library ops: their plans
+# read the signature/bucket frame three times (size agg + anti-join probe
+# + self-join), so at scale a caller materializes that frame once and
+# passes it in. Staged and inline paths must produce identical pairs.
+# ---------------------------------------------------------------------------
+def test_minhash_lsh_pairs_staged_sigs_parity(spark, tmp_path):
+    from sparklink import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inline = dedup.minhash_lsh_pairs(docs, k=32, bands=8).collect()
+    sigs = dedup.minhash_signatures(docs, k=32)
+    path = str(tmp_path / "sigs.parquet")
+    sigs.write.parquet(path)
+    staged = dedup.minhash_lsh_pairs(
+        docs, k=32, bands=8, sigs=spark.read.parquet(path)
+    ).collect()
+    key = lambda rows: {(r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in rows}  # noqa: E731
+    assert key(inline) and key(staged) == key(inline)
+
+
+def test_cosine_neardup_staged_buckets_parity(spark, tmp_path):
+    from sparklink.ann import _hyperplanes, cosine_neardup_pairs, neardup_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = list(_hyperplanes(int(emb.select(F.size("embedding")).head()[0]), 16, seed=3))
+    inline = cosine_neardup_pairs(emb, threshold=0.8, planes=planes, bands=4).collect()
+    path = str(tmp_path / "buckets.parquet")
+    neardup_buckets(emb, planes, bands=4).write.parquet(path)
+    staged = cosine_neardup_pairs(
+        emb, threshold=0.8, planes=planes, bands=4, buckets=spark.read.parquet(path)
+    ).collect()
+    key = lambda rows: {(r.id_a, r.id_b, round(r.cos, 9)) for r in rows}  # noqa: E731
+    assert key(inline) == key(staged)
