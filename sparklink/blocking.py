@@ -378,6 +378,9 @@ def salt_block_sizes(blocking_map: DataFrame, salt_threshold: int = 64, n_salts:
     Within-sub-block pairs are preserved; cross-sub-block pairs are traded
     for bounded skew (recall loss is measured, not silent — see
     metrics.py). Use for keys between salt_threshold and the hard cap.
+    Same plan contract as cap_block_sizes: the input is read twice
+    (sizes aggregate + salt join) — persist or stage an expensive map
+    before calling.
     """
     sizes = blocking_map.groupBy("block_key").agg(F.count("*").alias("n"))
     bm = blocking_map.join(F.broadcast(sizes.filter(F.col("n") > salt_threshold)), "block_key", "left")
