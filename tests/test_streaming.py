@@ -110,3 +110,69 @@ def test_stateful_conversation_assembly_matches_batch(spark, tmp_path_factory):
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
     for col in ["n_turns", "conv_text", "first_user_text", "last_assistant_text"]:
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_stream_match_new_evolving_state(spark, tmp_path_factory):
+    """Streaming incremental ER: each micro-batch match_new's against the
+    EVOLVING corpus state — a brand-new entity created by batch 1 must be
+    a match target for batch 2 (the property stream_gazetteer_matches,
+    whose index is static, does not have)."""
+    import json
+    import os
+    import time
+
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.score import FieldModel
+    from sparklink.streaming import stream_match_new
+    from sparklink.synth import write_fixture
+
+    root = str(tmp_path_factory.mktemp("smn"))
+    paths = write_fixture(spark, f"{root}/data", n_entities=24, seed=11)
+    t = spark.read.parquet(paths["transcripts"])
+
+    art = json.load(open("models/transcript_model.json"))
+    dd = SparkDedupe(model=FieldModel.from_json(json.dumps(art)), threshold=float(art["threshold"]))
+
+    # pick an entity whose conversations the FULL pipeline clusters
+    # together (model-resolvable by construction): its convs go to the
+    # two stream batches; everything else is the base corpus
+    em_full = dd.partition(t)
+    grp = (
+        em_full.groupBy("canon_id")
+        .agg(F.collect_list("record_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .orderBy("canon_id")
+        .first()
+    )
+    c1, c2 = sorted(grp["ids"])[:2]
+    all_ids = sorted(r.conv_id for r in t.select("conv_id").distinct().collect())
+    others = [i for i in all_ids if i not in (c1, c2)]
+    batch1_ids = [c1] + others[:3]
+    batch2_ids = [c2]
+    base_t = t.where(F.col("conv_id").isin(others[3:]))
+    em0 = dd.partition(base_t).localCheckpoint(eager=True)
+    base_canons = {r.canon_id for r in em0.select("canon_id").distinct().collect()}
+
+    src = f"{root}/stream_src"
+    os.makedirs(src, exist_ok=True)
+    t.where(F.col("conv_id").isin(batch1_ids)).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)  # distinct mtimes -> file order = batch order
+    t.where(F.col("conv_id").isin(batch2_ids)).coalesce(1).write.mode("append").parquet(src)
+
+    out, ckpt = f"{root}/deltas", f"{root}/ckpt"
+    q = stream_match_new(
+        spark, dd, src, t.schema, base_t, em0, out, ckpt, max_files_per_trigger=1
+    )
+    assert q.awaitTermination(600)
+
+    deltas = spark.read.parquet(out)
+    m = {r.record_id: (r.canon_id, r.batch_id) for r in deltas.collect()}
+    # every streamed conversation resolved exactly once
+    assert set(m) == set(batch1_ids) | set(batch2_ids)
+    assert deltas.count() == len(m)
+    # the two same-entity convs landed in DIFFERENT batches, share a canon
+    # that did not exist in the base map: the later batch matched the
+    # entity the earlier batch created
+    assert m[c1][1] != m[c2][1]
+    assert m[c1][0] == m[c2][0]
+    assert m[c1][0] not in base_canons
