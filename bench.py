@@ -268,11 +268,16 @@ def _scaling_summary() -> dict | None:
     def rung_order(k: str) -> tuple:
         # thread rungs are "1_to_4"; executor rungs are
         # "1x8core_to_4x8core_executors" — sort threads first, then
-        # executor rungs by per-executor core count
+        # executor rungs by per-executor core count; unrecognized rung
+        # naming sorts last instead of crashing the whole headline
+        # summary (r4 ADVICE)
         head = k.split("_")[0]
-        if "x" in head:
-            return (1, int(head.split("x")[1].rstrip("core")))
-        return (0, int(head))
+        try:
+            if "x" in head:
+                return (1, int(head.split("x")[1].rstrip("core")))
+            return (0, int(head))
+        except ValueError:
+            return (2, 0)
 
     for key in sorted(pairs, key=rung_order):
         g = pairs[key]
@@ -480,6 +485,15 @@ def main_score_prep() -> None:
     spark = _get_spark(f"local[{CPUS}]")
     fixture = ensure_fixture(spark, BENCH_ENTITIES)
     out = _score_prep_dir(BENCH_ENTITIES)
+    # markers are only ever valid-on-completion: clear them BEFORE
+    # overwriting the parquet so a crash mid-prep can't leave a stale
+    # _DONE over half-written data for --scaling-scoring to consume
+    # (r4 ADVICE)
+    for marker in ("_DONE", "_DONE_HYD"):
+        try:
+            os.remove(f"{out}/{marker}")
+        except FileNotFoundError:
+            pass
     model, threshold = load_static_model()
     dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
     transcripts = spark.read.parquet(f"{fixture}/transcripts.parquet")
@@ -859,6 +873,11 @@ def main_scaling_executors() -> None:
         # real one instead of the single-JVM bench default (48g)
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
     )
+    # stale per-process knobs from a prior shell export would make leg A
+    # sleep to an arbitrary epoch or score a single slice (r4 ADVICE);
+    # leg B re-adds them per-process below
+    for k in ("SPARK_GRAFT_START_AT", "SPARK_GRAFT_HYD_SLICE", "SPARK_GRAFT_PAIR_SLICE"):
+        env.pop(k, None)
     done_marker = "_DONE_HYD" if stage == "score_hyd" else "_DONE"
     if not os.path.exists(f"{_score_prep_dir(entities)}/{done_marker}"):
         subprocess.run([sys.executable, __file__, "--score-prep"], cwd=REPO, env=env, check=True)
@@ -964,6 +983,78 @@ def main_scaling_executors() -> None:
     )
 
 
+def main_tenx_incremental() -> None:
+    """Daily-ingest throughput at the bench corpus (r4 VERDICT #6):
+    gazetteer index + search, and SparkDedupe.match_new of a deterministic
+    ~1% delta batch against the rest — the production operation
+    (gazetteer_postgres_example.py:285-345 is the reference's daily loop).
+    Run with SPARK_GRAFT_BENCH_ENTITIES=80000 SPARK_GRAFT_BENCH_VOCAB_SCALE=10
+    for the headline 344k-record 10x row."""
+    from pyspark.sql import functions as F
+
+    from sparklink.canonicalize import canonicalize
+    from sparklink.linkage import SparkGazetteer
+    from sparklink.pipeline import SparkDedupe, default_transcript_predicates
+
+    spark = _get_spark(f"local[{CPUS}]")
+    fixture = ensure_fixture(spark, BENCH_ENTITIES)
+    model, threshold = load_static_model()
+    dd = SparkDedupe(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+    transcripts = spark.read.parquet(f"{fixture}/transcripts.parquet")
+    # deterministic ~1% of conversations form the arriving delta batch
+    ids = transcripts.select("conv_id").distinct()
+    delta_ids = ids.filter(F.pmod(F.xxhash64("conv_id"), F.lit(100)) == 0)
+    delta_t = transcripts.join(delta_ids, "conv_id", "left_semi").localCheckpoint(eager=True)
+    base_t = transcripts.join(delta_ids, "conv_id", "left_anti").localCheckpoint(eager=True)
+
+    t0 = time.time()
+    base_records = dd.canonical_records(base_t).localCheckpoint(eager=True)
+    n_base = base_records.count()
+    t_canon = time.time()
+    delta_records = canonicalize(delta_t).localCheckpoint(eager=True)
+    n_delta = delta_records.count()
+
+    gaz = SparkGazetteer(model=model, predicates=default_transcript_predicates(), threshold=threshold)
+    t1 = time.time()
+    gaz.index(base_records)
+    t_index = time.time()
+    n_hits = _materialize(gaz.search(delta_records, n_matches=2))
+    t_search = time.time()
+    gaz.unindex()
+
+    # match_new needs the existing entity map: built once here (timed
+    # separately — a production deployment reads it from the warehouse)
+    em0 = dd.partition(base_t).localCheckpoint(eager=True)
+    em0.count()
+    dd.release_token_stats()
+    t_em = time.time()
+    delta_em = dd.match_new(delta_t, base_records, em0)
+    n_delta_rows = _materialize(delta_em)
+    t_match = time.time()
+
+    print(
+        json.dumps(
+            {
+                "metric": "tenx_incremental",
+                "unit": "sec",
+                "entities": BENCH_ENTITIES,
+                "n_base_records": n_base,
+                "n_delta_records": n_delta,
+                "sec_base_canonicalize": round(t_canon - t0, 2),
+                "sec_index": round(t_index - t1, 2),
+                "sec_search": round(t_search - t_index, 2),
+                "search_records_per_sec": round(n_delta / max(t_search - t_index, 1e-9), 1),
+                "n_search_hits": n_hits,
+                "sec_base_partition": round(t_em - t_search, 2),
+                "sec_match_new": round(t_match - t_em, 2),
+                "match_new_records_per_sec": round(n_delta / max(t_match - t_em, 1e-9), 1),
+                "n_delta_map_rows": n_delta_rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling-executors" in sys.argv:
         main_scaling_executors()
@@ -979,5 +1070,7 @@ if __name__ == "__main__":
         main_score_once(sys.argv[sys.argv.index("--score-once") + 1])
     elif "--score-hyd-once" in sys.argv:
         main_score_hyd_once(sys.argv[sys.argv.index("--score-hyd-once") + 1])
+    elif "--tenx-incremental" in sys.argv:
+        main_tenx_incremental()
     else:
         main_default()

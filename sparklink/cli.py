@@ -13,6 +13,9 @@ Subcommands mirror the reference drivers:
     dedupe    ≙ csv_example / mysql_example end-to-end
     link      ≙ record_linkage_example (two sources)
     gazetteer ≙ gazetteer_example (index + match + write-back)
+    match-new ≙ the daily-ingest incremental assign
+    label     ≙ console_label + train (closed active-learning loop;
+                interactive, or batch via --labels-file)
     synth     generate a deterministic fixture (testing/benching)
 """
 
@@ -150,6 +153,36 @@ def cmd_match_new(args) -> None:
     print(json.dumps({"delta_rows": spark.read.parquet(args.out).count()}))
 
 
+def cmd_label(args) -> None:
+    """Closed active-learning loop (≙ console_label + train,
+    csv_example/csv_example.py:115-140): surface the most uncertain
+    candidate pairs, take labels (interactively, or from a CSV answers
+    table with --labels-file), refit, repeat; write the fitted model +
+    threshold artifact to --model-out."""
+    from sparklink.learn import console_labeler, file_labeler
+    from sparklink.pipeline import SparkDedupe
+
+    spark = _spark(args)
+    model, threshold = _load_model(args.model)
+    dd = SparkDedupe(model=model)
+    _set_threshold(dd, threshold)
+    records = dd.canonical_records(spark.read.parquet(args.transcripts))
+    if args.labels_file:
+        labeler = file_labeler(args.labels_file)
+    else:
+        fields = sorted({v.column for v in model.variables if v.kind != "text"})
+        labeler = console_labeler(fields)
+    seed = spark.read.parquet(args.labeled) if args.labeled else None
+    result = dd.label_session(
+        records, labeler, labeled_pairs=seed, rounds=args.rounds, per_round=args.per_round
+    )
+    art = json.loads(result["model"])
+    art["threshold"] = result["threshold"]
+    with open(args.model_out, "w") as f:
+        json.dump(art, f)
+    print(json.dumps({"rounds": result["rounds"], "n_labeled": result["n_labeled"], "threshold": result["threshold"], "model_out": args.model_out}))
+
+
 def cmd_synth(args) -> None:
     from sparklink.synth import write_fixture
 
@@ -194,6 +227,15 @@ def main(argv: list[str] | None = None) -> None:
     # closure through gazetteer-assigned records)
     mn.add_argument("--no-close-chains", action="store_true")
 
+    lb = sub.add_parser("label")
+    lb.add_argument("--transcripts", required=True)
+    lb.add_argument("--model")
+    lb.add_argument("--labeled", help="seed labeled pairs parquet (optional)")
+    lb.add_argument("--labels-file", help="CSV conv_id_a,conv_id_b,label answers table (batch mode); omit for interactive console")
+    lb.add_argument("--model-out", required=True)
+    lb.add_argument("--rounds", type=int, default=5)
+    lb.add_argument("--per-round", type=int, default=10)
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--entities", type=int, default=300)
@@ -206,6 +248,7 @@ def main(argv: list[str] | None = None) -> None:
         "link": cmd_link,
         "gazetteer": cmd_gazetteer,
         "match-new": cmd_match_new,
+        "label": cmd_label,
         "synth": cmd_synth,
     }[args.cmd](args)
 

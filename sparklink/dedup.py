@@ -6,7 +6,8 @@ needs document dedup primitives. All are pure DataFrame plans:
   exact_duplicates   — md5(text) hash-groupBy (one shuffle, map-side combine)
   minhash_lsh_pairs  — shingle -> k minhash permutations -> banded LSH join
   simhash            — 64-bit simhash from token hashes (bit ops, no UDF)
-  ngram_jaccard_pairs— exact character-n-gram Jaccard on blocked candidates
+  ngram_jaccard_pairs— exact word-n-gram Jaccard verify over LSH (or
+                       capped-block / caller-staged) candidates
 
 Design notes for scale: every candidate generator blocks first (LSH bands /
 shared shingles) so the pair join never goes quadratic; permutation tables
@@ -144,6 +145,8 @@ def minhash_lsh_pairs(
     max_bucket: int = 500,
     hash_mode: str = "xxhash",
     sigs: DataFrame | None = None,
+    shingle: str = "char",
+    on_oversized=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over minhash sigs.
 
@@ -163,7 +166,9 @@ def minhash_lsh_pairs(
     fine at sandbox sizes, 3x the dominant cost at 100 TB.
     """
     if sigs is None:
-        sigs = minhash_signatures(docs, text_col, id_col, k=k, shingle_n=shingle_n, hash_mode=hash_mode)
+        sigs = minhash_signatures(
+            docs, text_col, id_col, k=k, shingle_n=shingle_n, shingle=shingle, hash_mode=hash_mode
+        )
     r = k // bands
     if hash_mode == "portable":
         band_keys = F.array(
@@ -181,6 +186,8 @@ def minhash_lsh_pairs(
         )
     bm = sigs.select(F.col(id_col).alias("record_id"), "sig", F.explode(band_keys).alias("block_key"))
     sizes = bm.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    if on_oversized is not None:
+        on_oversized(sizes.count(), max_bucket)
     bm = bm.join(F.broadcast(sizes.select("block_key")), "block_key", "left_anti")
     l = bm.select("block_key", F.col("record_id").alias("id_a"), F.col("sig").alias("sig_a"))
     rr = bm.select("block_key", F.col("record_id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -233,11 +240,24 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_mode: str = "xxhash",
+    max_bucket: int = 2000,
+    on_oversized=None,
 ) -> DataFrame:
     """Candidate near-dups: block on 4 x 16-bit simhash chunks (a pair within
     hamming distance 3 must agree on >=1 of 4 chunks — pigeonhole), then
     exact hamming filter via bit_count(xor). Portable mode: 4 x 15-bit
-    chunks of the 60-bit portable simhash."""
+    chunks of the 60-bit portable simhash.
+
+    Chunk buckets larger than ``max_bucket`` are DROPPED (broadcast
+    anti-join, same skew guard as minhash_lsh_pairs / cosine_neardup_pairs):
+    a boilerplate-heavy corpus — the exact thing simhash targets —
+    concentrates hamming-close documents into hot 16-bit chunks, and one
+    hot chunk is a squared self-join at corpus scale. A pair of genuinely
+    near-identical documents usually agrees on ALL four chunks, so it
+    survives unless all four of its buckets are hot. ``on_oversized(
+    n_dropped_buckets, max_bucket)`` makes the recall loss observable
+    (wire to Catalog.log_metric); default None skips the extra count job.
+    """
     cw = 15 if hash_mode == "portable" else 16
     s = simhash(docs, text_col, id_col, hash_mode=hash_mode)
     chunks = F.array(
@@ -247,6 +267,10 @@ def simhash_near_pairs(
         ]
     )
     bm = s.select(F.col(id_col).alias("record_id"), F.col("simhash"), F.explode(chunks).alias("block_key"))
+    sizes = bm.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    if on_oversized is not None:
+        on_oversized(sizes.count(), max_bucket)
+    bm = bm.join(F.broadcast(sizes.select("block_key")), "block_key", "left_anti")
     l = bm.select("block_key", F.col("record_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     r = bm.select("block_key", F.col("record_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     pairs = (
@@ -270,23 +294,80 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+    blocking: str = "lsh",
+    lsh_k: int = 32,
+    lsh_bands: int = 16,
+    max_bucket: int = 500,
+    hash_mode: str = "xxhash",
     block_tokens: int = 1,
+    max_block: int = 1000,
+    on_oversized=None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard >= threshold for pairs sharing a first-token
-    block (cheap demo blocking; compose with minhash_lsh_pairs for recall).
-    Returns (id_a, id_b, jaccard)."""
+    """Exact word-n-gram Jaccard >= threshold over blocked candidates —
+    the VERIFY stage of near-dup detection. Returns (id_a, id_b, jaccard).
+
+    Candidate generation (the recall stage), in order of preference:
+      * caller-supplied ``candidates`` (id_a, id_b) — e.g. a staged
+        ``minhash_lsh_pairs`` output materialized once at 100 TB;
+      * ``blocking='lsh'`` (default): minhash banded LSH over the SAME
+        word-n-gram shingle set this verify stage compares. With
+        lsh_k=32 / lsh_bands=16 (r=2 rows per band) a pair at true
+        Jaccard 0.5 collides in >=1 band with p = 1-(1-0.25)^16 ≈ 0.99;
+        buckets are capped at ``max_bucket`` — never quadratic;
+      * ``blocking='first_token'``: the r1 demo blocking, now CAPPED at
+        ``max_block`` members per block — first tokens of prose are
+        stopword magnets, and an uncapped 'the' block is a
+        near-cartesian product at corpus scale (r4 VERDICT #2).
+
+    Documents with zero tokens are excluded (no grams to compare).
+    ``on_oversized(n_dropped, cap)`` reports capped blocks/buckets.
+    """
     # materialize the token array once per row (see char_shingles note on
     # lambda-inlined expressions re-evaluating per element)
-    t = docs.select(F.col(id_col).alias("record_id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+    t = docs.select(F.col(id_col).alias("record_id"), tokens(F.lower(F.col(text_col))).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
     d = t.select(
         "record_id",
         word_shingles_from_tokens(F.col("toks"), shingle_n).alias("grams"),
         F.array_join(F.slice("toks", 1, block_tokens), " ").alias("block_key"),
     )
-    l = d.select("block_key", F.col("record_id").alias("id_a"), F.col("grams").alias("g_a"))
-    r = d.select("block_key", F.col("record_id").alias("id_b"), F.col("grams").alias("g_b"))
-    pairs = l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b")
+    elif blocking == "lsh":
+        # zero-token docs have no grams to minhash (and the portable
+        # per-char hash is undefined on the empty string) — same exclusion
+        # the verify stage applies
+        nonempty = docs.filter(F.size(tokens(F.lower(F.col(text_col)))) >= 1)
+        pairs = minhash_lsh_pairs(
+            nonempty,
+            text_col,
+            id_col,
+            k=lsh_k,
+            bands=lsh_bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+            hash_mode=hash_mode,
+            shingle="word",
+            on_oversized=on_oversized,
+        ).select("id_a", "id_b")
+    elif blocking == "first_token":
+        bm = d.select("block_key", "record_id")
+        sizes = bm.groupBy("block_key").agg(F.count("*").alias("n")).filter(F.col("n") > max_block)
+        if on_oversized is not None:
+            on_oversized(sizes.count(), max_block)
+        bm = bm.join(F.broadcast(sizes.select("block_key")), "block_key", "left_anti")
+        l = bm.select("block_key", F.col("record_id").alias("id_a"))
+        r = bm.select("block_key", F.col("record_id").alias("id_b"))
+        pairs = l.join(r, "block_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown blocking mode {blocking!r}")
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ga = d.select(F.col("record_id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = d.select(F.col("record_id").alias("id_b"), F.col("grams").alias("g_b"))
+    hyd = pairs.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= min_jaccard)
+    return hyd.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= min_jaccard)

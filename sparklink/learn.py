@@ -146,6 +146,70 @@ def learn_predicates(
     return selected, report
 
 
+class StopLabeling(Exception):
+    """Raised by a labeler to end the active-learning session early —
+    the 'f'(inished) key of the reference's console_label
+    (csv_example/csv_example.py:130 [lib])."""
+
+
+def console_labeler(fields: list[str], input_fn=input, output=print):
+    """Interactive labeler for ``SparkDedupe.label_session`` — the
+    console_label UX (csv_example/csv_example.py:130 [lib]): each
+    candidate pair's field values are printed side by side and the user
+    answers y(es) / n(o) / u(nsure) / f(inished).
+
+    Returns labeler(batch_pd) -> list[bool|None]; raises StopLabeling on
+    'f' (already-collected answers in the batch are kept by the session).
+    """
+
+    def labeler(batch):
+        out: list[bool | None] = []
+        for _, row in batch.iterrows():
+            output("")
+            for f_ in fields:
+                output(f"{f_}:")
+                output(f"  a: {row.get(f_ + '_a')}")
+                output(f"  b: {row.get(f_ + '_b')}")
+            while True:
+                ans = input_fn("Do these records refer to the same thing? (y)es / (n)o / (u)nsure / (f)inished: ").strip().lower()
+                if ans in ("y", "n", "u"):
+                    out.append({"y": True, "n": False, "u": None}[ans])
+                    break
+                if ans == "f":
+                    # partial answers travel on the exception; the session
+                    # keeps them before ending
+                    raise StopLabeling(out)
+        return out
+
+    return labeler
+
+
+def file_labeler(answers: dict[tuple[str, str], bool] | str):
+    """Batch-mode labeler: answers is {(id_a, id_b): bool} or a CSV path
+    with header conv_id_a,conv_id_b,label. Pairs absent from the table are
+    labeled None (skipped) — the workflow where a labeling team fills a
+    spreadsheet between runs, replacing the reference's live console."""
+    if isinstance(answers, str):
+        table: dict[tuple[str, str], bool] = {}
+        with open(answers) as f:
+            header = f.readline()
+            assert header.strip(), "empty labels file"
+            for line in f:
+                parts = [p.strip() for p in line.strip().split(",")]
+                if len(parts) < 3 or not parts[0]:
+                    continue
+                table[(parts[0], parts[1])] = parts[2].lower() in ("1", "true", "t", "y", "yes")
+        answers = table
+
+    def labeler(batch):
+        return [
+            answers.get((row["id_a"], row["id_b"]), answers.get((row["id_b"], row["id_a"])))
+            for _, row in batch.iterrows()
+        ]
+
+    return labeler
+
+
 def most_uncertain(scored_pairs: DataFrame, n: int = 10) -> DataFrame:
     """The n candidate pairs the current model is LEAST sure about —
     uncertainty sampling, the heart of the reference's console_label

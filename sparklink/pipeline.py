@@ -350,6 +350,142 @@ class SparkDedupe:
         probs = self.model.predict_proba(feats)
         self.threshold = select_threshold(probs, feats["label"].to_numpy(), recall_weight=recall_weight)
 
+    def label_session(
+        self,
+        records: DataFrame,
+        labeler,
+        labeled_pairs: DataFrame | None = None,
+        rounds: int = 5,
+        per_round: int = 10,
+        n_random: int = 500,
+        n_blocked: int = 500,
+        recall_weight: float = 1.0,
+        seed: int = 42,
+    ) -> dict:
+        """The CLOSED active-learning loop — the reference's defining
+        label→retrain workflow (console_label + train,
+        csv_example/csv_example.py:115-140, mysql_example/mysql_example.py:
+        160-180): sample a candidate pool, surface the pairs the CURRENT
+        model is least sure about, consume the human's labels, refit, and
+        repeat — each round's uncertainty sampling uses the weights the
+        previous round learned.
+
+        ``labeler(batch_pd) -> list[bool|None]`` receives a pandas frame
+        with id_a/id_b plus every non-text model column as <col>_a/<col>_b
+        (64-char prefixes for string kinds — the display surface); None =
+        unsure/skip (dedupe's 'u'); raising learn.StopLabeling(partial)
+        ends the session keeping the partial batch. See learn.console_labeler
+        (interactive) and learn.file_labeler (batch answers table).
+
+        Plan shape: the candidate pool is sampled and featurized ONCE as a
+        distributed job (sample_training_pairs + the same hydrate/distance
+        stages production scoring uses), then collected — the pool is a few
+        hundred to a few thousand rows by construction, exactly the
+        reference's in-memory console_label working set. Every subsequent
+        round is driver-side numpy (predict_proba over the pool): zero
+        Spark jobs per round, so an interactive user sees millisecond
+        re-ranking between labels, not cluster round trips.
+
+        Starting weights: uses the model as-is when fitted; otherwise fits
+        from ``labeled_pairs`` when given; otherwise starts at zero weights
+        (every score 0.5 — the first round is effectively random sampling
+        from the blocked pool, which is how the reference's first
+        console_label round behaves too).
+
+        Returns {"rounds": [...], "n_labeled", "threshold", "model"} — and
+        leaves self.model refit and self.threshold re-selected in place.
+        """
+        import numpy as np
+
+        from sparklink.learn import StopLabeling, sample_training_pairs
+        from sparklink.score import select_threshold
+
+        pool = sample_training_pairs(
+            records, self.predicates, n_random=n_random, n_blocked=n_blocked, seed=seed, id_col="conv_id"
+        ).select(F.col("conv_id_a").alias("id_a"), F.col("conv_id_b").alias("id_b"))
+        display_cols = [
+            c for v in self.model.variables if v.kind != "text" for c in (f"{v.column}_a", f"{v.column}_b")
+        ]
+        display_cols = list(dict.fromkeys(display_cols))
+        feat_cols = self.model.feature_cols()
+        pool_pd = (
+            self._pair_features(records, pool)
+            .select("id_a", "id_b", *display_cols, *feat_cols)
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        labeled = pd.DataFrame(columns=["id_a", "id_b", "label", *feat_cols])
+        if labeled_pairs is not None:
+            seed_pairs = labeled_pairs.select(
+                F.col("conv_id_a").alias("id_a"), F.col("conv_id_b").alias("id_b"), "label"
+            )
+            labeled = (
+                self._pair_features(records, seed_pairs)
+                .select("id_a", "id_b", "label", *feat_cols)
+                .toPandas()
+            )
+        if self.model.weights is None:
+            if len(labeled):
+                self.model.fit(labeled.assign(label=labeled["label"].astype(bool)))
+            else:
+                self.model.weights = np.zeros(len(feat_cols))
+                self.model.bias = 0.0
+        done: set[tuple[str, str]] = set(zip(labeled["id_a"], labeled["id_b"]))
+        report: list[dict] = []
+        stopped = False
+        for rnd in range(rounds):
+            mask = [
+                (a, b) not in done for a, b in zip(pool_pd["id_a"], pool_pd["id_b"])
+            ]
+            avail = pool_pd[mask]
+            if not len(avail):
+                break
+            probs = self.model.predict_proba(avail)
+            batch = (
+                avail.assign(_p=probs, _u=np.abs(probs - 0.5))
+                .sort_values(["_u", "id_a", "id_b"])
+                .head(per_round)
+            )
+            try:
+                answers = labeler(batch.reset_index(drop=True))
+            except StopLabeling as e:
+                answers = list(e.args[0]) if e.args else []
+                stopped = True
+            answers = list(answers) + [None] * (len(batch) - len(answers))
+            new_rows = batch.assign(label=answers)
+            done |= set(zip(new_rows["id_a"], new_rows["id_b"]))
+            new_rows = new_rows[new_rows["label"].notna()][["id_a", "id_b", "label", *feat_cols]]
+            if len(new_rows):
+                # concat with the empty typed shell trips pandas' all-NA
+                # deprecation — replace it outright on first labels
+                labeled = new_rows.copy() if not len(labeled) else pd.concat([labeled, new_rows], ignore_index=True)
+            n_pos = int(labeled["label"].astype(bool).sum()) if len(labeled) else 0
+            if n_pos and n_pos < len(labeled):  # fit needs both classes
+                self.model.fit(labeled.assign(label=labeled["label"].astype(bool)))
+                probs_l = self.model.predict_proba(labeled)
+                self.threshold = select_threshold(
+                    probs_l, labeled["label"].astype(bool).to_numpy(), recall_weight=recall_weight
+                )
+            report.append(
+                {
+                    "round": rnd,
+                    "asked": int(len(batch)),
+                    "answered": int(len(new_rows)),
+                    "n_labeled": int(len(labeled)),
+                    "n_pos": n_pos,
+                    "threshold": float(self.threshold),
+                }
+            )
+            if stopped:
+                break
+        return {
+            "rounds": report,
+            "n_labeled": int(len(labeled)),
+            "threshold": float(self.threshold),
+            "model": self.model.to_json(),
+        }
+
     def partition(self, transcripts: DataFrame) -> DataFrame:
         """The fused pipeline (≙ deduper.partition(data, 0.5),
         csv_example/csv_example.py:152) -> entity_map DataFrame."""

@@ -417,7 +417,18 @@ class FieldModel:
             elif v.kind == "shortstring":
                 raw = jaro_winkler_udf(F.substring(l, 1, 64), F.substring(r, 1, 64))
             elif v.kind == "levenshtein":
-                raw = 1.0 - levenshtein_udf(F.substring(l, 1, 64), F.substring(r, 1, 64))
+                # JVM-native (r4 VERDICT #4): Spark's levenshtein built-in
+                # over the same 64-char prefixes computes the identical
+                # normalized rational as distances.levenshtein — similarity
+                # = 1 - dist/max(len_a, len_b, 1) — with no Arrow hop and
+                # no Python worker. The numpy kernel stays for the DuckDB
+                # value-parity probe (er_pair_levenshtein) and pytest
+                # differentials; parity kernel-vs-expr is regression-tested
+                # (test_round5).
+                tl, tr = F.substring(l, 1, 64), F.substring(r, 1, 64)
+                raw = 1.0 - F.levenshtein(tl, tr).cast("double") / F.greatest(
+                    F.length(tl), F.length(tr), F.lit(1)
+                ).cast("double")
             elif v.kind == "latlong":
                 raw = 1.0 / (1.0 + D.haversine_km(l["lat"], l["lng"], r["lat"], r["lng"]))
             elif v.kind == "name":

@@ -100,6 +100,18 @@ def stream_match_new(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # state is INSERT-only (matching the reference's daily-ingest
+        # whose UPDATE path touches matched canonical rows, not re-sent
+        # messy ones): a conv_id that re-arrives in a later micro-batch —
+        # a duplicate send, or turns split across batches (assemble them
+        # upstream with stream_assemble_conversations if that can happen)
+        # — is anti-joined out here rather than unioned in as a duplicate
+        # record with a second entity-map row (r4 ADVICE)
+        batch_df = batch_df.join(
+            state["em"].select(F.col("record_id").alias("conv_id")), "conv_id", "left_anti"
+        )
+        if batch_df.isEmpty():
+            return
         # materialize the delta BEFORE the append so the union below never
         # re-runs the match plan, and the written rows are the unioned rows
         delta = dd.match_new(batch_df, state["records"], state["em"]).localCheckpoint(eager=True)

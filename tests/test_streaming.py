@@ -112,6 +112,58 @@ def test_stateful_conversation_assembly_matches_batch(spark, tmp_path_factory):
         assert got[col].tolist() == want[col].tolist(), col
 
 
+def test_stateful_assembly_three_batches_interleaved(spark, tmp_path_factory):
+    """Late-turn coverage (r4 VERDICT #8): the turns of every conversation
+    split across THREE micro-batches, with one unrelated conversation
+    arriving whole in the middle batch — final assembled state must
+    canonicalize identically to the batch path."""
+    from sparklink.canonicalize import canonicalize
+    from sparklink.streaming import stream_assemble_conversations
+    from sparklink.synth import make_transcripts
+
+    tp, _ = make_transcripts(n_entities=10, seed=47)
+    t = spark.createDataFrame(tp).cache()
+    ids = sorted(r.conv_id for r in t.select("conv_id").distinct().collect())
+    interloper = ids[0]  # arrives whole in batch 2
+    split = t.filter(F.col("conv_id") != interloper)
+    base = tmp_path_factory.mktemp("state_stream3")
+    src, chk = str(base / "src"), str(base / "chk")
+    split.filter(F.col("turn_idx") % 3 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    split.filter(F.col("turn_idx") % 3 == 1).unionByName(
+        t.filter(F.col("conv_id") == interloper)
+    ).coalesce(1).write.mode("append").parquet(src)
+    split.filter(F.col("turn_idx") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(t.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_assemble_conversations(stream)
+        .writeStream.format("memory")
+        .queryName("assembly3_test")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.sql("select * from assembly3_test")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id")
+    final = (
+        emitted.withColumn("_maxv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("_maxv"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    # conversations split over 3 files saw 3 state updates
+    assert emitted.filter(F.col("conv_id") != interloper).agg(F.max("version")).collect()[0][0] == 3
+    got = canonicalize(final).toPandas().sort_values("conv_id").reset_index(drop=True)
+    want = canonicalize(t).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    for col in ["n_turns", "conv_text", "first_user_text", "last_assistant_text"]:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
 def test_stream_match_new_evolving_state(spark, tmp_path_factory):
     """Streaming incremental ER: each micro-batch match_new's against the
     EVOLVING corpus state — a brand-new entity created by batch 1 must be
