@@ -304,9 +304,16 @@ class Variable:
           dummy features, dedupe CategoricalType semantics,
           extended-variables/officers.py:115-117; without: same-category
           indicator), 'name' / 'address' (structured component split +
-          per-component comparators — the non-CRF approximation of
-          dedupe-variable-name/-address, extended-variables/officers.py:
-          109-110).
+          per-component comparators, re-creating dedupe-variable-name/
+          -address, extended-variables/officers.py:109-110).
+
+    parser (for 'name'/'address' only): 'regex' = pure-Column heuristic
+    split (JVM-side, no UDF — the default); 'crf' = the probabilistic
+    linear-chain tagger in nameparse.py (lexicon-driven Viterbi decode,
+    handles adversarial orderings like 'Dr Smith John R' and multi-token
+    particle surnames the regex form cannot represent — the reference
+    plugin's CRF behavior). Downstream component comparators are identical
+    for both parsers, so feature layout and weights are parser-portable.
 
     has_missing is forced False for 'text': its cosine is attached as a
     DataFrame sub-plan whose missing sides are imputed 0 inside the kernel,
@@ -318,12 +325,15 @@ class Variable:
     kind: str
     has_missing: bool = True
     categories: tuple = ()
+    parser: str = "regex"
 
     def __post_init__(self):
         if self.kind == "text" and self.has_missing:
             object.__setattr__(self, "has_missing", False)
         if self.categories:
             object.__setattr__(self, "categories", tuple(self.categories))
+        if self.parser not in ("regex", "crf"):
+            raise ValueError(f"unknown parser {self.parser!r} (expected 'regex' or 'crf')")
 
     @property
     def name(self) -> str:
@@ -442,7 +452,17 @@ class FieldModel:
                 # hand-fixed — r2 VERDICT #6).
                 # Component-wise comparison scores "JOHN SMITH" vs
                 # "SMITH, JOHN" as a match where whole-string JW does not.
-                fl_l, fl_r = _name_components(l), _name_components(r)
+                # parser='crf' swaps the component SOURCE for the
+                # probabilistic tagger (nameparse.py) — lexicon-driven
+                # Viterbi handles 'Dr Smith John R' / particle surnames;
+                # every comparator below is identical for both parsers.
+                if v.parser == "crf":
+                    from . import nameparse as _NP
+
+                    _nudf = _NP.name_struct_udf()
+                    fl_l, fl_r = _nudf(l), _nudf(r)
+                else:
+                    fl_l, fl_r = _name_components(l), _name_components(r)
                 comp = {
                     "first": _first_score(fl_l["first"], fl_r["first"]),
                     "last": jaro_winkler_udf(fl_l["last"], fl_r["last"]),
@@ -459,13 +479,24 @@ class FieldModel:
                 # exact, street name Jaro-Winkler (USPS abbreviations
                 # expanded), unit exact-or-both-absent — each a SEPARATE
                 # LR feature; the model learns the relative costs
-                ad_l, ad_r = _address_components(l), _address_components(r)
+                if v.parser == "crf":
+                    from . import nameparse as _NP
+
+                    _audf = _NP.address_struct_udf()
+                    ad_l, ad_r = _audf(l), _audf(r)
+                    # the tagger emits RAW street tokens; normalize
+                    # abbreviations Column-side exactly like the regex path
+                    street_l = _normalize_street(ad_l["street"])
+                    street_r = _normalize_street(ad_r["street"])
+                else:
+                    ad_l, ad_r = _address_components(l), _address_components(r)
+                    street_l, street_r = ad_l["street"], ad_r["street"]
                 unit_score = F.when(
                     ad_l["unit"].isNull() & ad_r["unit"].isNull(), F.lit(1.0)
                 ).otherwise(F.coalesce((ad_l["unit"] == ad_r["unit"]).cast("double"), F.lit(0.0)))
                 comp = {
                     "number": F.coalesce((ad_l["number"] == ad_r["number"]).cast("double"), F.lit(0.0)),
-                    "street": jaro_winkler_udf(ad_l["street"], ad_r["street"]),
+                    "street": jaro_winkler_udf(street_l, street_r),
                     "unit": unit_score,
                 }
                 for cname, ccol in zip(v.component_cols(), (comp[c] for c in v.components)):
@@ -556,6 +587,7 @@ class FieldModel:
                         "kind": v.kind,
                         "has_missing": v.has_missing,
                         **({"categories": list(v.categories)} if v.categories else {}),
+                        **({"parser": v.parser} if v.parser != "regex" else {}),
                     }
                     for v in self.variables
                 ],
