@@ -158,11 +158,24 @@ def _pad_tokens(token_lists: list[list[str]], max_len: int) -> tuple[np.ndarray,
     n = len(token_lists)
     lens = np.fromiter((min(len(t), max_len) for t in token_lists), dtype=np.int64, count=n)
     tok = np.full((n, max_len), "", dtype="<U32")
-    for i, ts in enumerate(token_lists):  # driver/worker-side packing, O(n)
+    for i, ts in enumerate(token_lists):  # training-set packing only, O(n)
         L = lens[i]
         if L:
             tok[i, :L] = [t[:32] for t in ts[:L]]
     return tok, lens
+
+
+def _tokenize_matrix(texts: pd.Series, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch tokenize WITHOUT a per-row Python loop: one pandas split into a
+    padded frame -> ([n, W<=max_len] '<U32' raw tokens, lens [n])."""
+    s = texts.fillna("").astype(str).str.lower()
+    parts = s.str.split(expand=True)
+    if parts.shape[1] == 0:
+        parts = pd.DataFrame("", index=s.index, columns=[0])
+    parts = parts.iloc[:, :max_len]
+    lens = parts.notna().sum(axis=1).to_numpy(dtype=np.int64)
+    raw = parts.fillna("").to_numpy(dtype="<U32")  # >32-char tokens truncate
+    return raw, lens
 
 
 def _name_tokenize(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -242,6 +255,34 @@ def _addr_features(tok: np.ndarray, lens: np.ndarray) -> np.ndarray:
 # linear-chain tagger: averaged structured perceptron + batch Viterbi
 # --------------------------------------------------------------------------
 
+def _viterbi(E: np.ndarray, trans: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Batch Viterbi: emissions E [n, L, T] + transitions [T+1, T] (last
+    row = start) -> tags [n, L] (int8; padding = -1). One DP sweep over
+    positions, every row of the batch decoded together."""
+    n, L, T = E.shape
+    trans = trans.astype(E.dtype, copy=False)
+    transT = np.ascontiguousarray(trans[:-1].T)  # [cur, prev]
+    V = trans[-1][None, :] + E[:, 0, :]  # [n, T]
+    backs = np.zeros((n, L, T), dtype=np.int8)
+    for t in range(1, L):
+        # prev on the CONTIGUOUS last axis so argmax is a single fast pass
+        scores = V[:, None, :] + transT[None, :, :]  # [n, cur, prev]
+        bt = scores.argmax(axis=2)  # [n, cur] -> best prev
+        Vn = np.take_along_axis(scores, bt[:, :, None], axis=2)[:, :, 0] + E[:, t, :]
+        active = (t < lens)[:, None]
+        V = np.where(active, Vn, V)  # freeze rows past their length
+        backs[:, t, :] = bt
+    tags = np.full((n, L), -1, dtype=np.int8)
+    cur = V.argmax(axis=1)
+    for t in range(L - 1, -1, -1):
+        on = (lens - 1) >= t
+        tags[on, t] = cur[on]
+        if t > 0:
+            prev = np.take_along_axis(backs[:, t, :], cur[:, None], axis=1)[:, 0]
+            cur = np.where(on, prev, cur)
+    return tags
+
+
 class ChainTagger:
     """Emission weights W [n_feats, n_tags]; transitions T [n_tags+1, n_tags]
     (last row = start transitions). Decode is one DP sweep over token
@@ -254,27 +295,7 @@ class ChainTagger:
 
     def decode_batch(self, feats: np.ndarray, lens: np.ndarray) -> np.ndarray:
         """feats [n, L, F], lens [n] -> tags [n, L] (int8; padding = -1)."""
-        n, L, _ = feats.shape
-        E = feats @ self.W  # [n, L, T]
-        T = self.n_tags
-        V = self.T[-1][None, :] + E[:, 0, :]  # [n, T]
-        backs = np.zeros((n, L, T), dtype=np.int8)
-        for t in range(1, L):
-            scores = V[:, :, None] + self.T[:-1][None, :, :]  # [n, prev, cur]
-            bt = scores.argmax(axis=1)  # [n, T]
-            Vn = np.take_along_axis(scores, bt[:, None, :], axis=1)[:, 0, :] + E[:, t, :]
-            active = (t < lens)[:, None]
-            V = np.where(active, Vn, V)  # freeze rows past their length
-            backs[:, t, :] = bt
-        tags = np.full((n, L), -1, dtype=np.int8)
-        cur = V.argmax(axis=1)
-        for t in range(L - 1, -1, -1):
-            on = (lens - 1) >= t
-            tags[on, t] = cur[on]
-            if t > 0:
-                prev = np.take_along_axis(backs[:, t, :], cur[:, None], axis=1)[:, 0]
-                cur = np.where(on, prev, cur)
-        return tags
+        return _viterbi(feats @ self.W, self.T, lens)
 
     def fit(
         self,
@@ -516,16 +537,94 @@ def addr_tagger() -> ChainTagger:
 
 
 # --------------------------------------------------------------------------
-# tag -> component assembly (vectorized: L concat steps, no per-row join)
+# fast decode path: features once per UNIQUE token (pd.factorize), emissions
+# composed directly — the dense [n, L, F] tensor (and every full-matrix
+# np.char / np.isin pass) exists only on the tiny training set. Parity with
+# the dense path is regression-tested (feats @ W == composed E).
+# --------------------------------------------------------------------------
+
+def _name_emissions(raw: np.ndarray, lens: np.ndarray, W: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """raw tokens [n, L] -> (emissions [n, L, T] float32, stripped tokens)."""
+    n, L = raw.shape
+    codes, uniq = pd.factorize(raw.ravel())
+    codes = codes.reshape(n, L)
+    u = np.asarray(uniq, dtype="<U32")
+    us = np.char.strip(u, ".,")
+    uf = np.zeros((len(u), N_NAME_FEATS), dtype=np.float32)
+    uf[:, 1] = np.isin(us, _GIVEN_ARR)
+    uf[:, 2] = np.isin(us, _SURNAME_ARR)
+    uf[:, 3] = np.isin(us, _NICK_ARR)
+    uf[:, 4] = np.isin(us, _HON_ARR)
+    uf[:, 5] = np.isin(us, _SUF_ARR)
+    uf[:, 6] = np.char.str_len(us) == 1
+    uf[:, 10] = pd.Series(us).str.contains(r"\d", regex=True).to_numpy()
+    uf[:, 11] = np.isin(us, _PART_ARR)
+    Wf = W.astype(np.float32)
+    E = (uf @ Wf)[codes]  # token-intrinsic features, one matmul per UNIQUE
+    E += Wf[0][None, None, :]  # bias
+    E[:, 0, :] += Wf[7]  # pos == 0
+    E[np.arange(n), np.maximum(lens - 1, 0), :] += Wf[8]  # pos == len-1
+    comma = np.char.endswith(u, ",")[codes]
+    after = np.zeros_like(comma)
+    after[:, 1:] = comma[:, :-1]
+    E[after] += Wf[9]
+    return E, us[codes]
+
+
+def _addr_emissions(raw: np.ndarray, lens: np.ndarray, W: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n, L = raw.shape
+    codes, uniq = pd.factorize(raw.ravel())
+    codes = codes.reshape(n, L)
+    u = np.asarray(uniq, dtype="<U32")
+    us = np.char.strip(u, ".,")
+    flat = pd.Series(us)
+    has_digit = flat.str.contains(r"\d", regex=True).to_numpy()
+    has_alpha = flat.str.contains(r"[a-z]", regex=True).to_numpy()
+    uf = np.zeros((len(u), N_ADDR_FEATS), dtype=np.float32)
+    uf[:, 1] = has_digit & ~has_alpha
+    uf[:, 2] = np.isin(us, _DIR_ARR)
+    uf[:, 3] = np.isin(us, _STYPE_ARR)
+    umark_u = np.isin(us, _UMARK_ARR) | np.char.startswith(us, "#")
+    uf[:, 4] = umark_u
+    uf[:, 5] = has_digit & has_alpha
+    uf[:, 8] = has_digit
+    uf[:, 10] = flat.str.match(_ORDINAL_RE).to_numpy()
+    uf[:, 11] = (np.char.str_len(us) <= 2) & has_alpha & ~has_digit
+    Wf = W.astype(np.float32)
+    E = (uf @ Wf)[codes]
+    E += Wf[0][None, None, :]
+    E[:, 0, :] += Wf[6]
+    E[np.arange(n), np.maximum(lens - 1, 0), :] += Wf[7]
+    after = np.zeros((n, L), dtype=bool)
+    after[:, 1:] = umark_u[codes][:, :-1]
+    E[after] += Wf[9]
+    return E, us[codes]
+
+
+# --------------------------------------------------------------------------
+# tag -> component assembly: single-token fast path (fancy index), Python
+# join only over the rare multi-token rows (particle surnames, 2-token units)
 # --------------------------------------------------------------------------
 
 def _join_tagged(tok: np.ndarray, tagmat: np.ndarray, want: tuple[int, ...]) -> pd.Series:
     sel = np.isin(tagmat, np.asarray(want, dtype=np.int8))
-    out = np.full(tok.shape[0], "", dtype="<U96")
-    for j in range(tok.shape[1]):
-        piece = np.where(sel[:, j], tok[:, j], "")
-        sep = np.where((out != "") & (piece != ""), " ", "")
-        out = np.char.add(np.char.add(out, sep), piece)
+    counts = sel.sum(axis=1)
+    single = tok[np.arange(tok.shape[0]), sel.argmax(axis=1)]
+    out = np.where(counts > 0, single, "").astype(object)
+    multi = np.nonzero(counts > 1)[0]
+    if len(multi):
+        # multi-token components (street bodies, particle surnames):
+        # object-dtype concat per COLUMN over just the multi rows —
+        # W<=10 vector ops, never a per-row join loop
+        sub_tok, sub_sel = tok[multi], sel[multi]
+        acc = np.full(len(multi), "", dtype=object)
+        for j in range(sub_tok.shape[1]):
+            if not sub_sel[:, j].any():
+                continue
+            piece = np.where(sub_sel[:, j], sub_tok[:, j], "").astype(object)
+            sep = np.where((acc != "") & (piece != ""), " ", "").astype(object)
+            acc = acc + sep + piece
+        out[multi] = acc
     s = pd.Series(out)
     return s.where(s != "", None)
 
@@ -534,9 +633,9 @@ def tag_names(texts: pd.Series, tg: ChainTagger | None = None) -> pd.DataFrame:
     """Decode a batch of raw person-name strings -> DataFrame(first, last,
     middle)."""
     tg = tg or name_tagger()
-    tok, comma, lens = _name_tokenize(texts)
-    feats = _name_features(tok, comma, lens)
-    tags = tg.decode_batch(feats, np.maximum(lens, 1))
+    raw, lens = _tokenize_matrix(texts, NAME_MAX_LEN)
+    E, tok = _name_emissions(raw, lens, tg.W)
+    tags = _viterbi(E, tg.T, np.maximum(lens, 1))
     tags[lens == 0] = -1
     return pd.DataFrame(
         {
@@ -554,9 +653,9 @@ def tag_addresses(texts: pd.Series, tg: ChainTagger | None = None) -> pd.DataFra
     '#'/'-' for space/hyphen-insensitive comparison, matching the regex
     path's semantics."""
     tg = tg or addr_tagger()
-    tok, lens = _addr_tokenize(texts)
-    feats = _addr_features(tok, lens)
-    tags = tg.decode_batch(feats, np.maximum(lens, 1))
+    raw, lens = _tokenize_matrix(texts, ADDR_MAX_LEN)
+    E, tok = _addr_emissions(raw, lens, tg.W)
+    tags = _viterbi(E, tg.T, np.maximum(lens, 1))
     tags[lens == 0] = -1
     street = _join_tagged(
         tok, tags, (_A_T["PREDIR"], _A_T["STREET"], _A_T["POSTTYPE"], _A_T["POSTDIR"])

@@ -157,6 +157,38 @@ def test_parser_field_serialization_roundtrip():
         Variable("name", "name", parser="nope")
 
 
+def test_fast_emissions_match_dense_path():
+    """The production decode composes emissions from per-unique-token
+    features (factorize + one matmul over the vocab); the dense [n, L, F]
+    tensor path is the training/reference implementation. Same emissions,
+    same tags."""
+    import numpy as np
+
+    texts = pd.Series(
+        ["john smith", "smith, john r", "dr smith john r", "maria van helsing", "bill smith jr"]
+    )
+    tg = NP.name_tagger()
+    raw, lens = NP._tokenize_matrix(texts, NP.NAME_MAX_LEN)
+    E_fast, _ = NP._name_emissions(raw, lens, tg.W)
+    tok, comma, lens2 = NP._name_tokenize(texts)
+    W = raw.shape[1]
+    feats = NP._name_features(tok, comma, lens2)[:, :W, :]
+    E_dense = feats @ tg.W
+    assert np.allclose(E_fast, E_dense, rtol=1e-4, atol=1e-4)
+    t_fast = NP._viterbi(E_fast, tg.T, lens)
+    t_dense = tg.decode_batch(NP._name_features(tok, comma, lens2), lens2)
+    assert (t_fast == t_dense[:, :W]).all()
+
+    addrs = pd.Series(["100 n main st apt 4b", "unit b 12 oak ave", "9 broadway"])
+    ta = NP.addr_tagger()
+    raw_a, lens_a = NP._tokenize_matrix(addrs, NP.ADDR_MAX_LEN)
+    E_fa, _ = NP._addr_emissions(raw_a, lens_a, ta.W)
+    tok_a, lens_a2 = NP._addr_tokenize(addrs)
+    Wd = raw_a.shape[1]
+    E_da = NP._addr_features(tok_a, lens_a2)[:, :Wd, :] @ ta.W
+    assert np.allclose(E_fa, E_da, rtol=1e-4, atol=1e-4)
+
+
 def test_tagger_training_is_deterministic():
     NP.name_tagger.cache_clear()
     t1 = NP.name_tagger()
