@@ -189,6 +189,84 @@ def test_fast_emissions_match_dense_path():
     assert np.allclose(E_fa, E_da, rtol=1e-4, atol=1e-4)
 
 
+def test_crf_recordlink_officers_end_to_end(spark):
+    """The reference's extended-variables/officers.py workflow: link two
+    person-record sources whose names and addresses are rendered in
+    DIFFERENT surface forms (comma order, honorific + LAST FIRST MIDDLE,
+    nicknames, suffixes, street-type abbreviation + unit-marker variants)
+    with a RecordLink model built on CRF name/address variables."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparklink import blocking as B
+    from sparklink.linkage import SparkRecordLink
+
+    rng = np.random.default_rng(5)
+    given = sorted(set(NP._GIVEN) - set(NP._SURNAME))
+    sur = sorted(set(NP._SURNAME) - set(NP._GIVEN))
+    nick_rev = {}  # canonical -> one diminutive
+    from sparklink.score import _NICKNAMES
+
+    for k, v in _NICKNAMES.items():
+        nick_rev.setdefault(v, k)
+    rows, truth = [], []
+    n_ent = 50
+    for i in range(n_ent):
+        first, last = given[i * 3 % len(given)], sur[i * 5 % len(sur)]
+        mi = chr(97 + i % 26)
+        number = 100 + i
+        street = NP._STREET_WORDS[i % len(NP._STREET_WORDS)]
+        unit = (i % 4 == 0) and str(i % 9 + 1) or None
+        a_addr = f"{number} {street} st" + (f" apt {unit}" if unit else "")
+        b_addr = f"{number} {street} street" + (f" unit {unit}" if unit else "")
+        rows.append((f"a{i}", "a", f"{first} {last}", a_addr))
+        b_name = [
+            f"dr {last} {first} {mi}",          # adversarial ordering
+            f"{last}, {first} {mi}",            # comma form
+            f"{nick_rev.get(first, first)} {last}",  # diminutive
+            f"{first} {mi} {last} jr",          # suffix
+        ][i % 4]
+        rows.append((f"b{i}", "b", b_name, b_addr))
+        truth.append((f"a{i}", f"b{i}"))
+    # unmatched distractors on each side
+    for j in range(8):
+        i = n_ent + j
+        rows.append(
+            (f"a{i}", "a", f"{given[(i * 7 + 1) % len(given)]} {sur[(i * 11 + 3) % len(sur)]}",
+             f"{900 + j} {NP._STREET_WORDS[(i + 5) % len(NP._STREET_WORDS)]} rd")
+        )
+        rows.append(
+            (f"b{i+100}", "b", f"{given[(i * 13 + 2) % len(given)]} {sur[(i * 17 + 7) % len(sur)]}",
+             f"{950 + j} {NP._STREET_WORDS[(i + 9) % len(NP._STREET_WORDS)]} ln")
+        )
+    records = spark.createDataFrame(rows, "conv_id string, source string, name string, addr string").cache()
+    # labeled pairs: 30 positives + negatives from shuffled misalignment
+    lab = [(f"a{i}", f"b{i}", True) for i in range(30)]
+    lab += [(f"a{i}", f"b{(i + 7) % n_ent}", False) for i in range(30)]
+    lab += [(f"a{i}", f"b{(i + 13) % n_ent}", False) for i in range(20)]
+    labeled = spark.createDataFrame(lab, "conv_id_a string, conv_id_b string, label boolean")
+    model = FieldModel(
+        variables=[
+            Variable("name", "name", has_missing=False, parser="crf"),
+            Variable("addr", "address", has_missing=False, parser="crf"),
+        ]
+    )
+    preds = [
+        B.Predicate("tok(name)", "name", B.token_field),
+        B.Predicate("ints(addr)", "addr", B.common_integers),
+    ]
+    rl = SparkRecordLink(model=model, predicates=preds)
+    rl.fit(records, labeled)
+    left = records.filter(F.col("source") == "a").drop("source")
+    right = records.filter(F.col("source") == "b").drop("source")
+    matches = {(r.id_a, r.id_b) for r in rl.join(left, right).collect()}
+    tp = len(matches & set(truth))
+    precision = tp / len(matches) if matches else 0.0
+    recall = tp / len(truth)
+    f1 = 2 * precision * recall / (precision + recall) if tp else 0.0
+    assert f1 >= 0.95, (precision, recall, f1, sorted(set(truth) - matches)[:5])
+
+
 def test_tagger_training_is_deterministic():
     NP.name_tagger.cache_clear()
     t1 = NP.name_tagger()
