@@ -245,6 +245,21 @@ def _scaling_summary() -> dict | None:
         if not m.startswith("scoring_scaling_efficiency_"):
             continue
         key = m[len("scoring_scaling_efficiency_") :]
+        # executor-rung readings whose leg-B window is seconds long measure
+        # JVM start-stagger, not throughput scaling: a fixed ~1-2 s spawn
+        # stagger is 20-40% of a <15 s window and ~0% of a 200 s one (the
+        # 48k-entity protocol). Estimate leg-B wall from its CPU-seconds
+        # (4 pinned executors x cores, ~fully busy) and summarize short-leg
+        # readings under their own key instead of polluting the rung median
+        # (r5: three 8k-entity readings landed in the 2-core rung).
+        if "executors" in key:
+            try:
+                percore = int(key.split("x")[1].split("core")[0])
+                cpu_b = (r.get("cpu_seconds") or {}).get("4_executors")
+                if cpu_b and cpu_b / (4.0 * percore) < 15.0:
+                    key += "_shortleg"
+            except (ValueError, IndexError):
+                pass
         g = pairs.setdefault(key, {"wall": [], "cpu": [], "n_gated": 0})
         g["wall"].append(r["value"])
         if r.get("cpu_efficiency"):
