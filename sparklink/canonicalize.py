@@ -5,11 +5,17 @@ The dedupe "record" (the analogue of the reference's ``data_d`` dict entry,
 stable ``(conv_id, turn_idx)`` ordering with per-turn text equality
 preserved (BASELINE.json north_star).
 
-Plan shape: one shuffle (groupBy conv_id). ``sort_array(collect_list(
-struct(turn_idx, ...)))`` gives the stable ordering without a global sort;
-turn-collision dedup uses a row_number window over the same partitioning so
-both shuffles share the ``conv_id`` hash partitioning (Catalyst reuses it —
-no second exchange).
+Plan shape: one shuffle. ``sort_array(collect_list(struct(turn_idx, ...)))``
+gives the stable ordering without a global sort. The turn-collision dedup
+window partitions by ``(conv_id, turn_idx)`` while the aggregate groups by
+``conv_id`` — left alone, Catalyst inserts one exchange per key set, so the
+full turn rows cross the wire twice. ``canonicalize`` therefore
+pre-partitions the input on ``conv_id``: hash(conv_id) co-locates every
+``(conv_id, turn_idx)`` group, which satisfies the window's clustered
+distribution AND the groupBy's, collapsing the plan to a single exchange
+(asserted in tests/test_plan_assertions.py). The REPARTITION_BY_COL origin
+leaves AQE free to coalesce the post-shuffle partitions; per-conv_id skew
+is bounded by conversation length, not corpus size.
 """
 
 from __future__ import annotations
@@ -56,7 +62,9 @@ def canonicalize(transcripts: DataFrame, extra_cols: list[str] | None = None) ->
     ]
     for c in extra_cols or []:
         agg.append(F.first(c).alias(c))
-    g = dedup_turns(transcripts).groupBy("conv_id").agg(*agg)
+    # single-exchange contract (module docstring): hash(conv_id) serves both
+    # the dedup window's (conv_id, turn_idx) clustering and the groupBy
+    g = dedup_turns(transcripts.repartition("conv_id")).groupBy("conv_id").agg(*agg)
     txt = lambda t: t["text"]  # noqa: E731
     out = g.select(
         "conv_id",
