@@ -30,8 +30,16 @@ TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 def dedup_turns(transcripts: DataFrame) -> DataFrame:
     """Drop duplicate (conv_id, turn_idx) collisions keeping the earliest ts
-    (deterministic; SURVEY.md §2.5 window note)."""
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc_nulls_last(), F.col("text"))
+    (deterministic; SURVEY.md §2.5 window note). The sort key is a TOTAL
+    order over the payload — collisions tying on (ts, text) but differing
+    in role/tool would otherwise be broken by partition arrival order,
+    i.e. nondeterministically across runs and cluster layouts."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("text"),
+        F.col("role").asc_nulls_last(),
+        F.col("tool").asc_nulls_last(),
+    )
     return (
         transcripts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

@@ -63,3 +63,23 @@ def test_duration_and_tools(spark, fixture_dfs):
         F.exists("tools", lambda t: t.isNull())
     ).count()
     assert bad_tools == 0
+
+
+def test_turn_collision_total_order_tiebreak(spark):
+    """Collisions tying on (ts, text) but differing in role/tool must be
+    broken by the TOTAL payload order (role, then tool), never by
+    partition arrival order — at cluster scale arrival order varies per
+    run and would make canonicalize nondeterministic."""
+    rows = [
+        ("c1", 0, "user", "same", "zzz-tool", "2025-01-01T00:00:00Z"),
+        ("c1", 0, "assistant", "same", None, "2025-01-01T00:00:00Z"),
+        ("c1", 0, "assistant", "same", "aaa-tool", "2025-01-01T00:00:00Z"),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+    for variant in (df, df.orderBy(F.desc("role")), df.repartition(7)):
+        kept = dedup_turns(variant).collect()
+        assert len(kept) == 1
+        # role sorts first among equal (ts, text): 'assistant' < 'user';
+        # among equal roles, tool 'aaa-tool' < 'zzz-tool' (nulls last)
+        assert (kept[0]["role"], kept[0]["tool"]) == ("assistant", "aaa-tool")
