@@ -54,7 +54,10 @@ def canonicalize(transcripts: DataFrame, extra_cols: list[str] | None = None) ->
       first_user_text, last_assistant_text, tools (sorted distinct array),
       turn_texts (array, per-turn cleaned text in turn order),
       n_tokens, duration_s, first_ts
-    extra_cols (e.g. ['source']) are carried through via first().
+    extra_cols (e.g. ['source']) are carried through via min() — identical
+    to the value when it is constant per conversation (the intended use),
+    and deterministic (unlike first(), which is arrival-order-dependent)
+    if a caller ever passes a column that varies within one.
     """
     turn = F.struct(
         F.col("turn_idx"),
@@ -69,7 +72,7 @@ def canonicalize(transcripts: DataFrame, extra_cols: list[str] | None = None) ->
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("long").alias("duration_s"),
     ]
     for c in extra_cols or []:
-        agg.append(F.first(c).alias(c))
+        agg.append(F.min(c).alias(c))
     # single-exchange contract (module docstring): hash(conv_id) serves both
     # the dedup window's (conv_id, turn_idx) clustering and the groupBy
     g = dedup_turns(transcripts.repartition("conv_id")).groupBy("conv_id").agg(*agg)
