@@ -54,3 +54,13 @@ def test_model_roundtrip(fitted):
     assert [v.name for v in m2.variables] == [v.name for v in dd.model.variables]
     assert abs(m2.bias - dd.model.bias) < 1e-12
     assert list(m2.weights) == list(dd.model.weights)
+
+
+def test_empty_corpus_partition(fitted):
+    """Degenerate input: a fitted pipeline over zero transcripts must
+    produce an empty entity_map with the normal schema, not crash — the
+    shape a scheduled production run hits on a day with no arrivals."""
+    dd, records, transcripts, truth = fitted
+    em = dd.partition(transcripts.limit(0))
+    assert em.count() == 0
+    assert {"record_id", "canon_id"} <= set(em.columns)
