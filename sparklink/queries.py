@@ -983,8 +983,11 @@ def er_one_to_one(spark, sf_dir):
     return SparkRecordLink.one_to_one(sp, threshold=-1.0).withColumnRenamed("score", "sim")
 
 
-@q(
-    "er_components",
+# shared CTE chain ending in a `comp(record_id, component)` relation —
+# the recursive-CTE mirror of connected_components over token-jaccard>=0.8
+# edges; used by er_components (the map itself) and er_cluster_stats (the
+# size-distribution report over it)
+DUCK_COMPONENTS_CTE = (
     DUCK_BLOCKKEYS_CTE
     + f""",
 pairs AS (
@@ -1009,10 +1012,18 @@ cc AS (
         SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.id
     )
     SELECT id, min(label) AS component FROM reach GROUP BY id
+),
+comp AS (
+    SELECT r.conv_id AS record_id, coalesce(cc.component, r.conv_id) AS component
+    FROM records r LEFT JOIN cc ON r.conv_id = cc.id
 )
-SELECT r.conv_id AS record_id, coalesce(cc.component, r.conv_id) AS component
-FROM records r LEFT JOIN cc ON r.conv_id = cc.id
-""",
+"""
+)
+
+
+@q(
+    "er_components",
+    DUCK_COMPONENTS_CTE + "SELECT record_id, component FROM comp",
 )
 def er_components(spark, sf_dir):
     """Distributed connected components vs a recursive-CTE oracle — the
@@ -1028,6 +1039,32 @@ def er_components(spark, sf_dir):
         recs.select(F.col("conv_id").alias("record_id"))
         .join(comps, "record_id", "left")
         .select("record_id", F.coalesce(F.col("component"), F.col("record_id")).alias("component"))
+    )
+
+
+@q(
+    "er_cluster_stats",
+    DUCK_COMPONENTS_CTE
+    + """,
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_records
+FROM sizes GROUP BY cluster_size
+""",
+)
+def er_cluster_stats(spark, sf_dir):
+    """Cluster-size distribution over the entity map — the monitoring
+    report a production ER pipeline watches for drift (a sudden giant
+    cluster = an over-broad predicate or threshold regression; the
+    mysql_example README's 'a few hours' run is exactly where you want
+    this before writing back). Two map-side-combinable aggregations,
+    no extra shuffle beyond the component map itself."""
+    em = er_components(spark, sf_dir)
+    sizes = em.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_records"),
     )
 
 
