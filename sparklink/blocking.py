@@ -136,16 +136,26 @@ def default_predicates(columns: dict[str, str]) -> list[Predicate]:
 
 
 def block_keys_column(predicates: list[Predicate]) -> Column:
-    return F.flatten(F.array(*[p.expr() for p in predicates]))
+    # array_distinct makes the per-record key set unique BEFORE the explode:
+    # the (block_key, record_id) relation is then distinct by construction
+    # (keys can only repeat within one record — across records the
+    # record_id differs), so no global dropDuplicates shuffle is needed
+    # downstream (guide §2.4: remove shuffles outright). Per-predicate key
+    # arrays are already distinct for every predicate in the catalog; the
+    # array_distinct also guards custom predicates and cross-predicate
+    # pid collisions at per-row cost instead of a full exchange.
+    return F.array_distinct(F.flatten(F.array(*[p.expr() for p in predicates])))
 
 
 def build_blocking_map(records: DataFrame, predicates: list[Predicate], id_col: str = "conv_id") -> DataFrame:
     """records -> (block_key, record_id), the reference's ``blocking_map``
-    table (mysql_example/mysql_example.py:190-196). Distinct mirrors its
-    UNIQUE INDEX (mysql_example/mysql_example.py:233-234)."""
-    return (
-        records.select(F.col(id_col).alias("record_id"), F.explode(block_keys_column(predicates)).alias("block_key"))
-        .dropDuplicates(["block_key", "record_id"])
+    table (mysql_example/mysql_example.py:190-196). Uniqueness mirrors its
+    UNIQUE INDEX (mysql_example/mysql_example.py:233-234) and is enforced
+    per row (array_distinct in block_keys_column) rather than with a
+    global dropDuplicates — one less full shuffle of the map, identical
+    relation."""
+    return records.select(
+        F.col(id_col).alias("record_id"), F.explode(block_keys_column(predicates)).alias("block_key")
     )
 
 
@@ -206,6 +216,60 @@ def token_stats(records: DataFrame, column: str, id_col: str = "conv_id") -> tup
     return toks, tf, dfreq
 
 
+def record_token_vocab(tf: DataFrame, dfreq: DataFrame) -> DataFrame:
+    """(record_id, vocab array<struct<token,tf,df>>): each record's token
+    stats collected into ONE row — the shared base for canopy keys and the
+    scorer's tf-idf arrays.
+
+    Why: both consumers rank a record's tokens by tf*idf, which the r1-r5
+    shape did with a window (partitionBy record_id + sort) EACH — two
+    full shuffles + sorts of the (record, token) frame. Collecting once
+    per record (one exchange, hash aggregate, no sort) and ranking
+    array-side replaces both (guide §2.4: operations keyed the same way
+    share one exchange). Selection and weights are bit-identical: the
+    array comparators replicate the windows' (w desc, token asc) order.
+    """
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy("record_id")
+        .agg(F.collect_list(F.struct("token", "tf", "df")).alias("vocab"))
+    )
+
+
+def tfidf_canopy_keys_from_vocab(
+    vocab: DataFrame,
+    n_docs: int,
+    column_label: str,
+    top_m: int = 3,
+    min_df: int = 1,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """Canopy keys from the collected per-record vocab (no window, no new
+    shuffle): filter df bounds, weight by tf*idf, sort (w desc, token asc),
+    keep top_m — the exact selection tfidf_canopy_keys_from_stats makes
+    with its window."""
+    max_df = int(max(1, max_df_frac * n_docs))
+    eligible = F.filter("vocab", lambda s: (s["df"] >= min_df) & (s["df"] <= max_df))
+    wt = F.transform(
+        eligible,
+        lambda s: F.struct(
+            s["token"].alias("token"),
+            (s["tf"] * F.log(F.lit(float(n_docs + 1)) / (s["df"] + 1.0))).alias("w"),
+        ),
+    )
+    ranked = F.array_sort(
+        wt,
+        lambda a, b: F.when(a["w"] > b["w"], -1)
+        .when(a["w"] < b["w"], 1)
+        .otherwise(F.when(a["token"] < b["token"], -1).when(a["token"] > b["token"], 1).otherwise(0)),
+    )
+    keys = F.transform(
+        F.slice(ranked, 1, top_m),
+        lambda s: F.concat(F.lit(f"canopy({column_label})"), F.lit(":"), s["token"]),
+    )
+    return vocab.select("record_id", F.explode(keys).alias("block_key"))
+
+
 def tfidf_canopy_keys_from_stats(
     tf: DataFrame,
     dfreq: DataFrame,
@@ -263,9 +327,10 @@ def minhash_band_keys_from_tokens(
             for b in range(bands)
         ]
     )
-    return sigs.select(F.col("record_id"), F.explode(band_keys).alias("block_key")).dropDuplicates(
-        ["block_key", "record_id"]
-    )
+    # one band key per (record, band) with a distinct 'mh<band>:' prefix —
+    # the (block_key, record_id) relation is distinct by construction, so
+    # the former dropDuplicates was a no-op shuffle (guide §2.4)
+    return sigs.select(F.col("record_id"), F.explode(band_keys).alias("block_key"))
 
 
 # --------------------------------------------------------------------------

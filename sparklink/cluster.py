@@ -40,10 +40,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    # no .distinct() on the symmetrized edge list: min-label propagation is
+    # idempotent under duplicate edges (min over a multiset), the pipeline
+    # feeds already-distinct scored pairs, and the (id_a < id_b) pair
+    # convention makes the two directed copies collision-free — the
+    # distinct was a full shuffle + aggregate of the edge list buying
+    # nothing (guide §2.4: a distinct on data that is already unique)
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     # label[v] = min(v, min neighbor label); iterate to fixpoint
     labels = (
@@ -75,17 +79,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25, checkpoint_dir: s
             .join(n1.select(F.col("id").alias("label"), F.col("label").alias("label2")).alias("b"), "label", "left")
             .select("id", F.least(F.col("label"), F.coalesce(F.col("label2"), F.col("label"))).alias("label"))
         )
-        new_labels = ckpt(jumped)
-        # convergence: a full propagate+jump round changed nothing (cheap —
-        # joins two checkpointed label frames, short-circuits at one row)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # convergence flag rides THROUGH the checkpoint: the old label is
+        # joined in BEFORE materialization, so the change test afterwards
+        # is a scan of the checkpointed blocks — no extra join job per
+        # round (was: a second shuffle join of new vs old labels)
+        flagged = jumped.alias("n").join(labels.withColumnRenamed("label", "_old"), "id").select(
+            "id", "label", (F.col("label") != F.col("_old")).alias("_chg")
         )
-        labels = new_labels
+        new_labels = ckpt(flagged)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("record_id"), F.col("label").alias("component"))
@@ -169,7 +172,29 @@ def refine_components(
             canon_of[lab] = min(canon_of.get(lab, ids[k]), ids[k])
         return pd.DataFrame({"record_id": ids, "canon_id": [canon_of[lab] for lab in labels]})
 
-    return e.groupBy("component").applyInPandas(hac, "record_id string, canon_id string")
+    # Post-blocking components are overwhelmingly TINY (size 3-6), so a
+    # per-component applyInPandas pays Spark's per-group machinery (Arrow
+    # batch framing, plan-side group bookkeeping) thousands of times for
+    # sub-millisecond numpy work (r6: measured ~10 s of the 34k-record
+    # bench's 16 s clustering stage). Components are therefore HASHED INTO
+    # BUCKETS — Spark sees a few hundred groups, and the per-component
+    # loop runs as a plain pandas groupby inside each bucket. Per-component
+    # results are bit-identical: hac() sees exactly the same rows either
+    # way. Bucket count scales with parallelism (never fewer groups than
+    # cores), and a component's rows always land in one bucket.
+    n_buckets = max(e.sparkSession.sparkContext.defaultParallelism * 4, 64)
+
+    def hac_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [hac(grp) for _, grp in pdf.groupby("component", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"record_id": pd.Series(dtype=object), "canon_id": pd.Series(dtype=object)}
+        )
+
+    return (
+        e.withColumn("_bucket", F.pmod(F.xxhash64("component"), F.lit(n_buckets)))
+        .groupBy("_bucket")
+        .applyInPandas(hac_bucket, "record_id string, canon_id string")
+    )
 
 
 def _avg_linkage_labels(d, cut: float):

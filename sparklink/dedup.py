@@ -169,6 +169,13 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures(
             docs, text_col, id_col, k=k, shingle_n=shingle_n, shingle=shingle, hash_mode=hash_mode
         )
+        # The plan below reads the signature frame THREE times (bucket-size
+        # aggregate, anti-join probe, both sides of the bucket self-join);
+        # left lazy, the shingle explode + k-min aggregate — the dominant
+        # cost — re-evaluates per read (measured ~3x the operator wall).
+        # Materialize the slim (id, sig) frame once within this invocation.
+        # Caller-staged ``sigs`` (the documented 100 TB contract) skips this.
+        sigs = sigs.localCheckpoint(eager=True)
     r = k // bands
     if hash_mode == "portable":
         band_keys = F.array(
@@ -259,7 +266,10 @@ def simhash_near_pairs(
     (wire to Catalog.log_metric); default None skips the extra count job.
     """
     cw = 15 if hash_mode == "portable" else 16
-    s = simhash(docs, text_col, id_col, hash_mode=hash_mode)
+    # materialized once: the chunk-key plan below reads it three times
+    # (sizes aggregate, anti-join probe, self-join sides) and the token
+    # explode + 60/64 per-bit aggregate would re-evaluate per read
+    s = simhash(docs, text_col, id_col, hash_mode=hash_mode).localCheckpoint(eager=True)
     chunks = F.array(
         *[
             F.concat(F.lit(f"ch{c}:"), ((F.shiftrightunsigned(F.col("simhash"), c * cw)) % (1 << cw)).cast("string"))
@@ -333,6 +343,9 @@ def ngram_jaccard_pairs(
         word_shingles_from_tokens(F.col("toks"), shingle_n).alias("grams"),
         F.array_join(F.slice("toks", 1, block_tokens), " ").alias("block_key"),
     )
+    # the gram frame hydrates BOTH pair sides (and the first_token blocking
+    # path reads it twice more); materialize the tokenize+shingle work once
+    d = d.localCheckpoint(eager=True)
     if candidates is not None:
         pairs = candidates.select("id_a", "id_b")
     elif blocking == "lsh":

@@ -506,6 +506,74 @@ def tfidf_token_arrays_from_stats(
     )
 
 
+def tfidf_token_arrays_from_vocab(
+    vocab: DataFrame,
+    n_docs: int,
+    top_m: int = 48,
+    max_df_frac: float = 0.5,
+    hash_expr=None,
+) -> DataFrame:
+    """tfidf_token_arrays from the collected per-record vocab frame
+    (blocking.record_token_vocab) — no window, no extra shuffle.
+
+    Selection and arithmetic are identical to
+    ``tfidf_token_arrays_from_stats``: filter df <= max_df_frac*n_docs,
+    weight tf*log((n+1)/(df+1)), keep the top_m by (w desc, token asc) —
+    here an array_sort + slice instead of a row_number window — then the
+    same hash/dedup/normalize tail. Output is bit-identical (regression-
+    tested vs the stats path)."""
+    max_df = int(max(1, max_df_frac * n_docs))
+    eligible = F.filter("vocab", lambda s: s["df"] <= max_df)
+    wt = F.transform(
+        eligible,
+        lambda s: F.struct(
+            s["token"].alias("token"),
+            (s["tf"] * F.log((F.lit(float(n_docs)) + 1.0) / (s["df"] + 1.0))).alias("w"),
+        ),
+    )
+    ranked = F.array_sort(
+        wt,
+        lambda a, b: F.when(a["w"] > b["w"], -1)
+        .when(a["w"] < b["w"], 1)
+        .otherwise(F.when(a["token"] < b["token"], -1).when(a["token"] > b["token"], 1).otherwise(0)),
+    )
+    if hash_expr is None:
+        hash_expr = lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 31)).cast("int")  # noqa: E731
+    agg = vocab.select(
+        "record_id",
+        F.transform(
+            F.slice(ranked, 1, top_m),
+            lambda s: F.struct(hash_expr(s["token"]).alias("h"), s["w"].alias("w")),
+        ).alias("hw0"),
+    )
+    # identical tail to tfidf_token_arrays_from_stats: (h asc, w desc)
+    # sort, keep max-weight entry per hash run, L2-normalize
+    agg = agg.withColumn(
+        "hws",
+        F.array_sort(
+            "hw0",
+            lambda a, b: F.when(a["h"] < b["h"], -1)
+            .when(a["h"] > b["h"], 1)
+            .otherwise(F.when(a["w"] > b["w"], -1).when(a["w"] < b["w"], 1).otherwise(0)),
+        ),
+    ).drop("hw0")
+    agg = agg.withColumn(
+        "hw",
+        F.filter(
+            "hws",
+            lambda x, i: (i == 0) | (x["h"] != F.element_at(F.col("hws"), F.greatest(i, F.lit(1)))["h"]),
+        ),
+    )
+    norm = F.sqrt(F.aggregate("hw", F.lit(0.0), lambda acc, s: acc + s["w"] * s["w"]))
+    agg = agg.withColumn("norm", norm)
+    safe_w = lambda s: F.when(F.col("norm") > 0, s["w"] / F.col("norm")).otherwise(F.lit(0.0))  # noqa: E731
+    return agg.select(
+        "record_id",
+        F.transform("hw", lambda s: s["h"]).alias("tfh"),
+        F.transform("hw", lambda s: safe_w(s).cast("float")).alias("tfw"),
+    )
+
+
 def sparse_dot(ha: pd.Series, wa: pd.Series, hb: pd.Series, wb: pd.Series) -> np.ndarray:
     """Batch sparse dot of aligned (sorted-hash, weight) array pairs.
 

@@ -87,81 +87,182 @@ class SparkRecordLink:
 
 @dataclass
 class SparkGazetteer:
-    """Index canonical records once; search/match messy batches against it."""
+    """Index canonical records once; search/match messy batches against it.
+
+    r6 cost model (the reference's own: gazetteer_postgres_example.py:58-76
+    indexes ONCE, then every daily batch probes the persisted index):
+    ``index()`` stages not just the blocking map but the canonical side's
+    COMPLETE hydration payload (64-char prefixes + tf-idf arrays) and the
+    corpus token statistics (per-token df + corpus size). ``search`` /
+    ``match`` then launch no job over the canonical text at all — the
+    messy delta is tokenized fresh, weighted against the STAGED index-time
+    IDF, and joined to the staged payload. IDF is therefore an index-time
+    constant of the canonical corpus (previously it was recomputed over
+    union(messy, canonical) per batch — a full-corpus rescan per delta,
+    the wrong cost model at 100 TB); a messy token absent from the index
+    vocabulary carries no weight, exactly as a gazetteer index that has
+    never seen the token.
+
+    ``broadcast_messy=True`` (default) broadcasts the delta batch's
+    blocking keys into the candidate join so the index side is never
+    shuffled (a daily delta vs a 100 TB index); set False for bulk
+    re-matching where the messy side is itself corpus-sized.
+    """
 
     model: FieldModel = field(default_factory=default_transcript_model)
     predicates: list[B.Predicate] = field(default_factory=default_transcript_predicates)
     threshold: float = 0.5
     max_block_size: int = 200
+    broadcast_messy: bool = True
     _canonical: DataFrame | None = None
     _index: DataFrame | None = None
+    _slim: DataFrame | None = None
+    _hyd_fields: list[str] | None = None
+    _dfreq: dict | None = None
+    _n_docs: int | None = None
+
+    def _dd(self) -> SparkDedupe:
+        return SparkDedupe(model=self.model, predicates=self.predicates, threshold=self.threshold)
+
+    def _text_cols(self) -> list[str]:
+        return sorted({v.column for v in self.model.variables if v.kind == "text"})
 
     def index(self, canonical_records: DataFrame, catalog=None) -> None:
         """≙ gazetteer.index(canonical) — build + persist the blocking index
-        (gazetteer_example/gazetteer_example.py:157). With ``catalog``
-        (checkpoints.Catalog) the index AND the canonical records are
-        written as catalog tables — the durable ``indexed_records`` store
-        of gazetteer_postgres_example.py:58-76 — so a new process calls
-        load_index() and searches without re-blocking."""
+        AND the canonical hydration payload + token statistics. With
+        ``catalog`` (checkpoints.Catalog) everything is written as catalog
+        tables — the durable ``indexed_records`` store of
+        gazetteer_postgres_example.py:58-76 — so a new process calls
+        load_index() and searches without touching the canonical corpus."""
+        from sparklink import distances as D
+
+        dd = self._dd()
         idx_thunk = lambda: B.cap_block_sizes(  # noqa: E731
             B.build_blocking_map(canonical_records, self.predicates), self.max_block_size
         )
+
+        def dfreq_for(col: str) -> DataFrame:
+            return B.token_stats(canonical_records, col)[2]
+
+        def slim_thunk() -> DataFrame:
+            # reuses the already-staged/persisted dfreq (self._dfreq) so
+            # the index build explodes the canonical corpus once per
+            # text column for tf and once for df — not twice for each
+            vecs_by_col = {}
+            for col in self._text_cols():
+                tf = B.token_stats(canonical_records, col)[1]
+                vocab = B.record_token_vocab(tf, self._dfreq[col])
+                vecs_by_col[col] = D.tfidf_token_arrays_from_vocab(vocab, self._n_docs)
+            slim, self._hyd_fields = dd.slim_hydration_frame(canonical_records, vecs_by_col)
+            return slim
+
+        self._n_docs = canonical_records.count()
         if catalog is not None:
             from sparklink.pipeline import _input_fingerprint
 
             # the input fingerprint is part of the stage identity:
             # re-indexing DIFFERENT canonical records under the same
             # predicates must not resume the stale gazetteer tables
-            # (r2 ADVICE — the staleness class _input_fingerprint exists
-            # to prevent, mirrored from SparkDedupe.canonical_records)
+            # (r2 ADVICE, mirrored from SparkDedupe.canonical_records)
             params = {
                 "preds": [p.pid for p in self.predicates],
                 "cap": self.max_block_size,
+                "model": self.model.to_json(),
                 "input": _input_fingerprint(canonical_records),
             }
             self._canonical = catalog.stage("gazetteer_canonical", params, lambda: canonical_records)
             idx = catalog.stage("gazetteer_index", params, idx_thunk)
+            spark = canonical_records.sparkSession
+            catalog.stage(
+                "gazetteer_meta",
+                params,
+                lambda: spark.createDataFrame([(int(self._n_docs),)], "n_docs bigint"),
+            )
+            self._dfreq = {}
+            for col in self._text_cols():
+                self._dfreq[col] = catalog.stage(f"gazetteer_dfreq_{col}", params, lambda c=col: dfreq_for(c))
+            slim = catalog.stage("gazetteer_slim", params, slim_thunk)
+            # the staged slim table's column list IS the hydration field
+            # list (minus the id) — recover it so load_index() in a fresh
+            # process needs no recomputation
+            self._hyd_fields = [c for c in slim.columns if c != "conv_id"]
         else:
-            # cache the canonical records alongside the index: downstream
-            # hydration/token stats probe partition counts, and an
-            # un-materialized aggregate-derived frame refuses the probe
-            # (util.widen_to_parallelism), serializing the token explode
-            # on narrow local inputs; cached frames probe free. The
-            # catalog branch gets the same property from the staged scan.
+            # cache everything the probe path reads; the canonical records
+            # themselves stay referenced only for API back-compat
             self._canonical = canonical_records.persist()
             self._canonical.count()
             self._own_canonical = True
             idx = idx_thunk()
+            self._dfreq = {}
+            for col in self._text_cols():
+                d = dfreq_for(col).persist()
+                d.count()
+                self._dfreq[col] = d
+            slim = slim_thunk().persist()
+            slim.count()
+        self._slim = slim
         self._index = idx.persist()
         self._index.count()
 
     def load_index(self, catalog) -> None:
         """Resume a previously indexed gazetteer from the catalog (new
-        process, no re-blocking — the incremental-matching workflow the
-        reference runs against its indexed_records table)."""
+        process, no re-blocking, no canonical-corpus scan — the
+        incremental-matching workflow the reference runs against its
+        indexed_records table)."""
         self._canonical = catalog.load("gazetteer_canonical")
         self._index = catalog.load("gazetteer_index").persist()
         self._index.count()
+        self._slim = catalog.load("gazetteer_slim")
+        self._hyd_fields = [c for c in self._slim.columns if c != "conv_id"]
+        self._n_docs = int(catalog.load("gazetteer_meta").collect()[0]["n_docs"])
+        self._dfreq = {col: catalog.load(f"gazetteer_dfreq_{col}") for col in self._text_cols()}
 
     def unindex(self) -> None:
         if self._index is not None:
             self._index.unpersist()
             self._index = None
+        for d in (self._dfreq or {}).values():
+            d.unpersist()
+        self._dfreq = None
+        if self._slim is not None:
+            self._slim.unpersist()
+            self._slim = None
         if getattr(self, "_own_canonical", False) and self._canonical is not None:
             self._canonical.unpersist()
             self._own_canonical = False
 
     def _scored(self, messy_records: DataFrame) -> DataFrame:
+        from sparklink import distances as D
+
         assert self._index is not None, "call index(canonical) first"
         bm_messy = B.cap_block_sizes(B.build_blocking_map(messy_records, self.predicates), self.max_block_size)
+        if self.broadcast_messy:
+            # the messy side is a delta batch probing a (potentially
+            # 100 TB) index: broadcast its keys so the index is never
+            # shuffled by the candidate join (guide §3.1)
+            bm_messy = F.broadcast(bm_messy)
         cand = (
             bm_messy.withColumnRenamed("record_id", "id_a")
             .join(self._index.withColumnRenamed("record_id", "id_b"), "block_key")
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        dd = SparkDedupe(model=self.model, predicates=self.predicates, threshold=self.threshold)
-        withd = dd._pair_features_two(messy_records, self._canonical, cand)
+        dd = self._dd()
+        # messy-side payload only: fresh tf over the delta, weighted by the
+        # STAGED canonical df / corpus size — no canonical-side job
+        vecs_by_col = {
+            col: D.tfidf_token_arrays_from_stats(
+                B.token_stats(messy_records, col)[1], self._dfreq[col], self._n_docs
+            )
+            for col in self._text_cols()
+        }
+        slim_m, fields_m = dd.slim_hydration_frame(messy_records, vecs_by_col)
+        assert self._hyd_fields is not None and fields_m == self._hyd_fields, (
+            f"staged index hydration fields {self._hyd_fields} do not match this "
+            f"model's layout {fields_m} — re-index with the current model"
+        )
+        hyd = P.hydrate_two(cand, slim_m, self._slim, self._hyd_fields)
+        withd = dd._features_from_hydrated(hyd)
         return dd.model.score(withd).select("id_a", "id_b", "score")
 
     def search(self, messy_records: DataFrame, n_matches: int = 2) -> DataFrame:

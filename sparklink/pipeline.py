@@ -115,19 +115,25 @@ class SparkDedupe:
         return self._stage("records", params, lambda: canonicalize(transcripts))
 
     def _token_stats(self, records: DataFrame, column: str = "conv_text"):
-        """Shared token-stats frame (one explode) reused across canopy
+        """Shared token-stats frames (one explode) reused across canopy
         keys, minhash band keys, and the scorer's tf-idf vectors —
         memoized per records frame (r1 bench: the three separate explodes
-        were 56% of pipeline wall time)."""
+        were 56% of pipeline wall time).
+
+        r6 shape: the per-(record, token) tf frame is collapsed ONCE into
+        a per-record vocab array (blocking.record_token_vocab); canopy
+        keys and tf-idf arrays both rank array-side, replacing their two
+        window shuffles+sorts with one hash-aggregate exchange (guide
+        §2.4). Returns (toks, vocab, n_docs)."""
         cached = getattr(self, "_tf_cache", None)
         if cached is not None and cached[0] is records and cached[1] == column:
-            return cached[2], cached[3], cached[4], cached[5]
+            return cached[2], cached[3], cached[4]
         toks, tf, dfreq = B.token_stats(records, column)
         toks = toks.persist()
-        tf = tf.persist()
+        vocab = B.record_token_vocab(tf, dfreq).persist()
         n_docs = records.count()
-        self._tf_cache = (records, column, toks, tf, dfreq, n_docs)
-        return toks, tf, dfreq, n_docs
+        self._tf_cache = (records, column, toks, vocab, n_docs)
+        return toks, vocab, n_docs
 
     def release_token_stats(self) -> None:
         """Unpersist the shared token-stats frames. Call once scored_pairs
@@ -149,10 +155,10 @@ class SparkDedupe:
         def thunk():
             bm = B.build_blocking_map(records, self.predicates)
             if self.use_canopy or self.use_minhash:
-                toks, tf, dfreq, n_docs = self._token_stats(records)
+                toks, vocab, n_docs = self._token_stats(records)
                 if self.use_canopy:
                     bm = bm.unionByName(
-                        B.tfidf_canopy_keys_from_stats(tf, dfreq, n_docs, "conv_text", top_m=4)
+                        B.tfidf_canopy_keys_from_vocab(vocab, n_docs, "conv_text", top_m=4)
                     )
                 if self.use_minhash:
                     # recall backstop: hard-noised members can lose
@@ -206,6 +212,39 @@ class SparkDedupe:
                 )
         return bm
 
+    def _slim_base(self, records: DataFrame) -> tuple[DataFrame, list[str]]:
+        """(slim frame, non-text field list): the hydration payload before
+        tf-idf arrays — 64-char prefixes for string-kernel columns so the
+        full text never crosses the hydration shuffle."""
+        fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
+        string_cols = {v.column for v in self.model.variables if v.kind in ("string", "shortstring", "levenshtein")}
+        slim = records.select(
+            "conv_id",
+            *[(F.substring(F.col(f), 1, 64).alias(f) if f in string_cols else F.col(f)) for f in fields],
+        )
+        return slim, fields
+
+    def slim_hydration_frame(self, records: DataFrame, vecs_by_col: dict[str, DataFrame]) -> tuple[DataFrame, list[str]]:
+        """(slim frame + tf-idf arrays, hydrated field list): the complete
+        per-record hydration payload given prebuilt tf-idf array frames per
+        text column — the staged-index building block (SparkGazetteer
+        stages this for the canonical side at index() time)."""
+        slim, fields = self._slim_base(records)
+        vec_fields: list[str] = []
+        for v in self.model.variables:
+            if v.kind != "text":
+                continue
+            slim = slim.join(
+                vecs_by_col[v.column]
+                .withColumnRenamed("record_id", "conv_id")
+                .withColumnRenamed("tfh", f"tfh_{v.column}")
+                .withColumnRenamed("tfw", f"tfw_{v.column}"),
+                "conv_id",
+                "left",
+            )
+            vec_fields += [f"tfh_{v.column}", f"tfw_{v.column}"]
+        return slim, fields + vec_fields
+
     def _hydrate_pairs(self, records: DataFrame, pairs: DataFrame) -> DataFrame:
         """pairs(id_a, id_b[, label]) -> hydrated pair frame (pre-distance).
 
@@ -219,28 +258,26 @@ class SparkDedupe:
         run the scoring stage on a differently-sized fleet (the shape
         bench.py's N-vs-4N executor proxy measures).
         """
-        fields = sorted({v.column for v in self.model.variables if v.kind != "text"})
-        string_cols = {v.column for v in self.model.variables if v.kind in ("string", "shortstring", "levenshtein")}
-        slim = records.select(
-            "conv_id",
-            *[(F.substring(F.col(f), 1, 64).alias(f) if f in string_cols else F.col(f)) for f in fields],
-        )
-        # AQE coalesces by bytes; candidate pairs are byte-slim but
-        # CPU-heavy downstream (DP kernels). Re-spread to full parallelism
-        # so the scorer UDF stage uses every core — a ~MB shuffle buying a
-        # 32x compute fan-out (same reasoning holds on a real cluster).
-        sc = records.sparkSession.sparkContext
-        n_pair_parts = int(
-            os.environ.get("SPARK_GRAFT_PAIR_PARTITIONS", sc.defaultParallelism * 2)
-        )
-        pairs = pairs.repartition(n_pair_parts, "id_a", "id_b")
+        slim, fields = self._slim_base(records)
+        # r6: the old repartition(n, id_a, id_b) here was a WASTED exchange
+        # — the very next operator joins on id_a alone, which cannot reuse
+        # an (id_a, id_b) hash partitioning and immediately re-shuffles
+        # (guide §2.4: check for Exchange nodes you did not expect). The
+        # scorer-stage parallelism it was buying is preserved by AQE's
+        # parallelismFirst coalescing (post-join partitions target
+        # defaultParallelism, not advisory bytes); SPARK_GRAFT_PAIR_PARTITIONS
+        # still forces an explicit spread when set.
+        n_pair_parts = os.environ.get("SPARK_GRAFT_PAIR_PARTITIONS")
+        if n_pair_parts:
+            pairs = pairs.repartition(int(n_pair_parts), "id_a", "id_b")
         text_vars = [v for v in self.model.variables if v.kind == "text"]
         vec_fields = []
         for v in text_vars:
             cached = getattr(self, "_tf_cache", None)
             if cached is not None and cached[0] is records and cached[1] == v.column:
-                # reuse the blocking build's shared token explode
-                vecs = D.tfidf_token_arrays_from_stats(cached[3], cached[4], cached[5])
+                # reuse the blocking build's shared per-record vocab (one
+                # collect exchange serves canopy AND these arrays)
+                vecs = D.tfidf_token_arrays_from_vocab(cached[3], cached[4])
             else:
                 vecs = D.tfidf_token_arrays(records, v.column)
             slim = slim.join(
@@ -251,6 +288,11 @@ class SparkDedupe:
                 "left",
             )
             vec_fields += [f"tfh_{v.column}", f"tfw_{v.column}"]
+        if text_vars:
+            # both hydration sides read the slim frame; materialize it so
+            # the tf-idf array build (vocab sort/slice/normalize chain)
+            # runs once instead of once per side — a few MB of slim rows
+            slim = slim.localCheckpoint(eager=True)
         return P.hydrate(pairs, slim, fields + vec_fields)
 
     def _features_from_hydrated(self, hyd: DataFrame) -> DataFrame:

@@ -98,8 +98,15 @@ def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return canonicalize(derived_transcripts(spark, sf_dir)).select(
-        "conv_id", "n_turns", "conv_text", "first_user_text", "n_tokens"
+    # eagerly materialized: most consumers reference the records frame
+    # several times (blocking map self-join sides, both hydration sides),
+    # and left lazy the canonicalize window+aggregate re-evaluates per
+    # reference — measured 2-4x the query wall for er_candidate_pairs /
+    # er_pair_scores (guide §5: localCheckpoint to cut repeated subtrees)
+    return (
+        canonicalize(derived_transcripts(spark, sf_dir))
+        .select("conv_id", "n_turns", "conv_text", "first_user_text", "n_tokens")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -212,7 +219,9 @@ WHERE l.record_id < r.record_id
 def er_candidate_pairs(spark, sf_dir):
     """Blocked self-join with l<r + DISTINCT
     (mysql_example/mysql_example.py:256-260)."""
-    return candidate_pairs(er_block_keys(spark, sf_dir))
+    # the self-join reads the blocking map twice; materialize the
+    # predicate-explode once instead of evaluating it per side
+    return candidate_pairs(er_block_keys(spark, sf_dir).localCheckpoint(eager=True))
 
 
 @q(
@@ -243,7 +252,7 @@ def er_pair_scores(spark, sf_dir):
         F.array_distinct(tokens(F.col("conv_text"))).alias("tokset"),
         F.col("n_turns"),
     )
-    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES))
+    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES).localCheckpoint(eager=True))
     a = feat.select(F.col("conv_id").alias("id_a"), F.col("tokset").alias("ts_a"), F.col("n_turns").alias("nt_a"))
     b = feat.select(F.col("conv_id").alias("id_b"), F.col("tokset").alias("ts_b"), F.col("n_turns").alias("nt_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
@@ -311,6 +320,7 @@ def er_exact_entity_map(spark, sf_dir):
     convention (mysql_example/mysql_example.py:45-50,283-287)."""
     recs = er_records(spark, sf_dir)
     h = recs.select(F.col("conv_id"), F.md5("conv_text").alias("hh"))
+    h = h.localCheckpoint(eager=True)  # read by both the group agg and the join
     g = h.groupBy("hh").agg(F.min("conv_id").alias("canon_id"), F.count("*").alias("group_size"))
     return h.join(g, "hh").select(F.col("conv_id").alias("record_id"), "canon_id", "group_size")
 
@@ -369,7 +379,7 @@ def er_pair_levenshtein(spark, sf_dir):
     from sparklink.score import levenshtein_udf
 
     recs = er_records(spark, sf_dir)
-    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES))
+    pairs = candidate_pairs(build_blocking_map(recs, ER_PREDICATES).localCheckpoint(eager=True))
     t = recs.select("conv_id", F.substring(F.coalesce("first_user_text", F.lit("")), 1, 64).alias("t64"))
     a = t.select(F.col("conv_id").alias("id_a"), F.col("t64").alias("ta"))
     b = t.select(F.col("conv_id").alias("id_b"), F.col("t64").alias("tb"))
@@ -1084,7 +1094,7 @@ WHERE l.record_id < r.record_id AND l.block_key LIKE 'p6:%'
 def er_pairs_intersect(spark, sf_dir):
     """Relation set-op (INTERSECT) over pair sets — the evaluation
     primitives of csv_evaluation.py:6-17 expressed relationally."""
-    bk = er_block_keys(spark, sf_dir)
+    bk = er_block_keys(spark, sf_dir).localCheckpoint(eager=True)  # read 4x below
 
     def pairs_of(prefix):
         b = bk.filter(F.col("block_key").startswith(prefix))

