@@ -33,6 +33,15 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+# expansion cap: the chain is a dim-deep nested Add tree — fine for
+# embedding dims up to ~128, but a 512-term chain overflows the JVM stack
+# during Column conversion and bloats the plan string (the constant-plan
+# guard of test_lsh_production_planes_plan_size); larger dims keep the
+# interpreted fold, whose per-element cost matters less as compute per
+# row grows with dim anyway
+_EXPAND_DIM_CAP = 128
+
+
 def _dot_fixed(a, b, dim: int | None):
     """The same left-to-right dot fold as ``_dot``, expanded to ``dim``
     explicit terms when both arrays have exactly ``dim`` elements.
@@ -42,8 +51,9 @@ def _dot_fixed(a, b, dim: int | None):
     higher-order aggregate/zip_with fold is interpreted per element
     (guide §4.1: prefer expressions codegen can compile). The size guard
     keeps exact parity — and ANSI safety — for ragged inputs, which fall
-    back to the fold; dim=None is the plain fold."""
-    if not dim:
+    back to the fold; dim=None (or dim past _EXPAND_DIM_CAP) is the
+    plain fold."""
+    if not dim or dim > _EXPAND_DIM_CAP:
         return _dot(a, b)
     acc = F.lit(0.0)
     for i in range(dim):
@@ -70,7 +80,7 @@ def with_unit_vectors(
     per row. Values are bit-identical to the lambda form — same divisions,
     same fold order."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    if not dim:
+    if not dim or dim > _EXPAND_DIM_CAP:
         n = _norm(v)
         return emb.withColumn(out_col, F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v))
     vv = F.col("__v")

@@ -120,16 +120,45 @@ class SparkDedupe:
         memoized per records frame (r1 bench: the three separate explodes
         were 56% of pipeline wall time).
 
-        r6 shape: the per-(record, token) tf frame is collapsed ONCE into
-        a per-record vocab array (blocking.record_token_vocab); canopy
-        keys and tf-idf arrays both rank array-side, replacing their two
-        window shuffles+sorts with one hash-aggregate exchange (guide
-        §2.4). Returns (toks, vocab, n_docs)."""
+        r6 shape: the token-array frame is persisted HASH-PARTITIONED BY
+        record_id, so every downstream aggregate keyed on record_id — the
+        (record, token) tf counts, the per-record vocab collect
+        (blocking.record_token_vocab), and the minhash band-key k-min
+        aggregate — satisfies its clustered distribution from the cache
+        and adds NO exchange (guide §2.4: operations keyed the same way
+        share one exchange; a partitioning on a subset of the grouping
+        keys satisfies the distribution). The one exchange this costs
+        moves ~n_records array rows instead of the exploded token rows
+        (~30-200x more of them) that the r5 shape shuffled twice more.
+        Canopy keys and tf-idf arrays rank array-side over the vocab,
+        replacing their two window shuffles+sorts. Returns
+        (toks, vocab, n_docs)."""
         cached = getattr(self, "_tf_cache", None)
         if cached is not None and cached[0] is records and cached[1] == column:
             return cached[2], cached[3], cached[4]
-        toks, tf, dfreq = B.token_stats(records, column)
+        from sparklink.preprocess import tokens as _tokens
+
+        toks = records.select(
+            F.col("conv_id").alias("record_id"), _tokens(F.lower(F.col(column))).alias("toks")
+        ).repartition("record_id")
+        # persist AND materialize immediately: an unmaterialized AQE-cached
+        # plan reports unknown output partitioning, so anything planned
+        # against it re-inserts the very exchanges this layout removes;
+        # once the cache is live, the tf aggregate, the vocab collect and
+        # the minhash band k-min aggregate all plan exchange-free on the
+        # cached record_id partitioning
         toks = toks.persist()
+        toks.count()
+        ex = toks.select("record_id", F.explode("toks").alias("token"))
+        tf = ex.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
+        # persist (NOT localCheckpoint — a checkpoint's LogicalRDD drops
+        # the outputPartitioning): the vocab join references tf twice
+        # (dfreq aggregate + join probe); materialize for the same
+        # planning-time reason as toks
+        tf = tf.persist()
+        self._held_frames = getattr(self, "_held_frames", []) + [tf]
+        tf.count()
+        dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
         vocab = B.record_token_vocab(tf, dfreq).persist()
         n_docs = records.count()
         self._tf_cache = (records, column, toks, vocab, n_docs)

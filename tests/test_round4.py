@@ -826,12 +826,15 @@ def test_blocking_map_persists_uncapped_input_once_and_releases(fixture_dfs):
     dd = SparkDedupe(model=FieldModel.from_json(_json.dumps(art)), threshold=float(art["threshold"]))
     records = dd.canonical_records(transcripts)
     bm = dd.blocking_map(records)
-    held = dd._held_frames
-    assert len(held) == 1 and held[0].is_cached
+    # r6: the held set is the uncapped map plus the (record,token) tf frame
+    # the vocab build reads twice — every held frame is cached, and
+    # release_token_stats frees them all
+    held = list(dd._held_frames)
+    assert len(held) >= 1 and all(h.is_cached for h in held)
     n = bm.count()
     assert n > 0
     dd.release_token_stats()
-    assert dd._held_frames == [] and not held[0].is_cached
+    assert dd._held_frames == [] and not any(h.is_cached for h in held)
     # the returned (capped) map still computes correctly after release
     assert bm.count() == n
 
