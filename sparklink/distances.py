@@ -546,6 +546,10 @@ def tfidf_token_arrays_from_vocab(
             lambda s: F.struct(hash_expr(s["token"]).alias("h"), s["w"].alias("w")),
         ).alias("hw0"),
     )
+    # relation parity with the stats path: a record whose every token is
+    # stop-worded out has NO row there (the df-filtered join drops it) —
+    # drop its empty-array row here too
+    agg = agg.filter(F.size("hw0") > 0)
     # identical tail to tfidf_token_arrays_from_stats: (h asc, w desc)
     # sort, keep max-weight entry per hash run, L2-normalize
     agg = agg.withColumn(

@@ -141,17 +141,25 @@ class SparkGazetteer:
             B.build_blocking_map(canonical_records, self.predicates), self.max_block_size
         )
 
+        # ONE persisted (record, token, tf) frame per text column feeds both
+        # the staged dfreq and the staged slim payload — the canonical
+        # corpus is tokenized/exploded once per column at index build
+        tf_cache: dict[str, DataFrame] = {}
+
+        def tf_for(col: str) -> DataFrame:
+            if col not in tf_cache:
+                t = B.token_stats(canonical_records, col)[1].persist()
+                tf_cache[col] = t
+            return tf_cache[col]
+
         def dfreq_for(col: str) -> DataFrame:
-            return B.token_stats(canonical_records, col)[2]
+            return tf_for(col).groupBy("token").agg(F.count("*").alias("df"))
 
         def slim_thunk() -> DataFrame:
-            # reuses the already-staged/persisted dfreq (self._dfreq) so
-            # the index build explodes the canonical corpus once per
-            # text column for tf and once for df — not twice for each
+            # reuses the already-staged/persisted dfreq (self._dfreq)
             vecs_by_col = {}
             for col in self._text_cols():
-                tf = B.token_stats(canonical_records, col)[1]
-                vocab = B.record_token_vocab(tf, self._dfreq[col])
+                vocab = B.record_token_vocab(tf_for(col), self._dfreq[col])
                 vecs_by_col[col] = D.tfidf_token_arrays_from_vocab(vocab, self._n_docs)
             slim, self._hyd_fields = dd.slim_hydration_frame(canonical_records, vecs_by_col)
             return slim
@@ -203,6 +211,8 @@ class SparkGazetteer:
         self._slim = slim
         self._index = idx.persist()
         self._index.count()
+        for t in tf_cache.values():
+            t.unpersist()
 
     def load_index(self, catalog) -> None:
         """Resume a previously indexed gazetteer from the catalog (new
