@@ -216,6 +216,35 @@ def token_stats(records: DataFrame, column: str, id_col: str = "conv_id") -> tup
     return toks, tf, dfreq
 
 
+def partitioned_token_stats(
+    records: DataFrame, column: str, id_col: str = "conv_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, tf) persisted HASH-PARTITIONED BY record_id and eagerly
+    materialized — the r6 layout both the batch pipeline and the
+    gazetteer index build share.
+
+    Partitioning the token arrays BEFORE the explode means the
+    (record, token) tf aggregate, the per-record vocab collect
+    (record_token_vocab) and the minhash band k-min aggregate all satisfy
+    their clustered distributions from the cache and add no exchange:
+    the one exchange moves ~n_records array rows instead of shuffling the
+    exploded token rows (~30-200x more of them) once per consumer. The
+    eager counts matter — an unmaterialized AQE-cached plan reports
+    unknown partitioning, and consumers planned against it would
+    re-insert the exchanges. Callers own unpersisting both frames.
+    """
+    toks = records.select(
+        F.col(id_col).alias("record_id"), tokens(F.lower(F.col(column))).alias("toks")
+    ).repartition("record_id")
+    toks = toks.persist()
+    toks.count()
+    ex = toks.select("record_id", F.explode("toks").alias("token"))
+    tf = ex.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.persist()
+    tf.count()
+    return toks, tf
+
+
 def record_token_vocab(tf: DataFrame, dfreq: DataFrame) -> DataFrame:
     """(record_id, vocab array<struct<token,tf,df>>): each record's token
     stats collected into ONE row — the shared base for canopy keys and the

@@ -56,8 +56,12 @@ def canonicalize(transcripts: DataFrame, extra_cols: list[str] | None = None) ->
       n_tokens, duration_s, first_ts
     extra_cols (e.g. ['source']) are carried through via min() — identical
     to the value when it is constant per conversation (the intended use),
-    and deterministic (unlike first(), which is arrival-order-dependent)
-    if a caller ever passes a column that varies within one.
+    and deterministic GIVEN deterministic dedup survivors (unlike
+    first(), which is arrival-order-dependent even then). Caveat: two
+    colliding turns identical in (ts, text, role, tool) but differing
+    only in an extra column are themselves dropped by arrival order
+    (dedup_turns' tie-break is total over TRANSCRIPT_COLS only), so
+    min() over the survivor set can vary run to run in that edge case.
     """
     turn = F.struct(
         F.col("turn_idx"),

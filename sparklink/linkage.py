@@ -143,13 +143,17 @@ class SparkGazetteer:
 
         # ONE persisted (record, token, tf) frame per text column feeds both
         # the staged dfreq and the staged slim payload — the canonical
-        # corpus is tokenized/exploded once per column at index build
+        # corpus is tokenized/exploded once per column at index build, in
+        # the record_id-partitioned layout so the tf aggregate and the
+        # vocab collect add no exchange over the corpus (the same shape
+        # pipeline._token_stats uses)
         tf_cache: dict[str, DataFrame] = {}
 
         def tf_for(col: str) -> DataFrame:
             if col not in tf_cache:
-                t = B.token_stats(canonical_records, col)[1].persist()
+                toks_c, t = B.partitioned_token_stats(canonical_records, col)
                 tf_cache[col] = t
+                tf_cache[f"__toks_{col}"] = toks_c
             return tf_cache[col]
 
         def dfreq_for(col: str) -> DataFrame:
@@ -195,11 +199,13 @@ class SparkGazetteer:
             # process needs no recomputation
             self._hyd_fields = [c for c in slim.columns if c != "conv_id"]
         else:
-            # cache everything the probe path reads; the canonical records
-            # themselves stay referenced only for API back-compat
-            self._canonical = canonical_records.persist()
-            self._canonical.count()
-            self._own_canonical = True
+            # the canonical records stay referenced only for API
+            # back-compat — the probe path reads ONLY the staged/persisted
+            # index, slim payload and token stats below, so the records
+            # themselves are no longer cached (at a 341k-record corpus the
+            # old cache fill alone cost ~10s and held GBs for nothing)
+            self._canonical = canonical_records
+            self._own_canonical = False
             idx = idx_thunk()
             self._dfreq = {}
             for col in self._text_cols():

@@ -136,28 +136,8 @@ class SparkDedupe:
         cached = getattr(self, "_tf_cache", None)
         if cached is not None and cached[0] is records and cached[1] == column:
             return cached[2], cached[3], cached[4]
-        from sparklink.preprocess import tokens as _tokens
-
-        toks = records.select(
-            F.col("conv_id").alias("record_id"), _tokens(F.lower(F.col(column))).alias("toks")
-        ).repartition("record_id")
-        # persist AND materialize immediately: an unmaterialized AQE-cached
-        # plan reports unknown output partitioning, so anything planned
-        # against it re-inserts the very exchanges this layout removes;
-        # once the cache is live, the tf aggregate, the vocab collect and
-        # the minhash band k-min aggregate all plan exchange-free on the
-        # cached record_id partitioning
-        toks = toks.persist()
-        toks.count()
-        ex = toks.select("record_id", F.explode("toks").alias("token"))
-        tf = ex.groupBy("record_id", "token").agg(F.count("*").alias("tf"))
-        # persist (NOT localCheckpoint — a checkpoint's LogicalRDD drops
-        # the outputPartitioning): the vocab join references tf twice
-        # (dfreq aggregate + join probe); materialize for the same
-        # planning-time reason as toks
-        tf = tf.persist()
+        toks, tf = B.partitioned_token_stats(records, column)
         self._held_frames = getattr(self, "_held_frames", []) + [tf]
-        tf.count()
         dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
         vocab = B.record_token_vocab(tf, dfreq).persist()
         n_docs = records.count()

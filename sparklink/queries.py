@@ -1068,8 +1068,10 @@ def er_cluster_stats(spark, sf_dir):
     report a production ER pipeline watches for drift (a sudden giant
     cluster = an over-broad predicate or threshold regression; the
     mysql_example README's 'a few hours' run is exactly where you want
-    this before writing back). Two map-side-combinable aggregations,
-    no extra shuffle beyond the component map itself."""
+    this before writing back). Two small post-map aggregations — each
+    introduces an exchange, but both are map-side combinable and the
+    shuffled volume (one row per component, then one per distinct size)
+    is negligible next to the component map build."""
     em = er_components(spark, sf_dir)
     sizes = em.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(

@@ -156,6 +156,17 @@ def _warm_python_workers(spark: SparkSession) -> None:
             .withColumn("agg2", F.aggregate("arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x))
         )
         warmed.write.format("noop").mode("overwrite").save()
+        # parquet reader/writer + localCheckpoint machinery: the remaining
+        # first-use costs a fresh session's first real stage would pay
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="sparklink_warm_")
+        try:
+            d.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).localCheckpoint(eager=True).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         spark.sparkContext.setJobDescription(None)
         sc._sparklink_workers_warm = True
     except Exception:  # pragma: no cover - warm-up is best-effort

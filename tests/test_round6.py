@@ -158,6 +158,53 @@ def test_gazetteer_search_without_canonical_corpus(spark, tmp_path):
     assert after == before and len(after) > 0
 
 
+def test_match_new_second_batch_reuses_staged_gazetteer(spark, tmp_path):
+    """VERDICT r5 #2 done-criterion: a second match_new batch against the
+    SAME base must resume the staged gazetteer tables (index, slim
+    payload, token stats) instead of re-deriving anything about the
+    unchanged base — asserted via the child catalog's resume_hit
+    metrics."""
+    import json as _json
+
+    from sparklink.checkpoints import Catalog
+    from sparklink.pipeline import SparkDedupe
+    from sparklink.score import FieldModel
+    from sparklink.synth import write_fixture
+    from sparklink.canonicalize import canonicalize
+
+    paths = write_fixture(spark, str(tmp_path / "data"), n_entities=30, seed=3)
+    transcripts = spark.read.parquet(paths["transcripts"])
+    ids = transcripts.select("conv_id").distinct()
+    mod = F.pmod(F.xxhash64("conv_id"), F.lit(10))
+    base_t = transcripts.join(ids.filter(mod >= 2), "conv_id", "left_semi").localCheckpoint(eager=True)
+    d1 = transcripts.join(ids.filter(mod == 0), "conv_id", "left_semi").localCheckpoint(eager=True)
+    d2 = transcripts.join(ids.filter(mod == 1), "conv_id", "left_semi").localCheckpoint(eager=True)
+
+    art = _json.load(open("models/transcript_model.json"))
+    dd = SparkDedupe(
+        model=FieldModel.from_json(_json.dumps(art)),
+        threshold=float(art["threshold"]),
+        catalog=Catalog(spark, str(tmp_path / "wh")),
+    )
+    base_records = dd.canonical_records(base_t).localCheckpoint(eager=True)
+    em0 = dd.partition(base_t).localCheckpoint(eager=True)
+    dd.release_token_stats()
+
+    assert dd.match_new(d1, base_records, em0).count() > 0
+    child = Catalog(spark, str(tmp_path / "wh" / "match_new_batch"))
+    hits_before = sum(
+        1 for m in child.metrics() if m.get("event") == "resume_hit" and m["stage"].startswith("gazetteer_")
+    )
+    assert dd.match_new(d2, base_records, em0).count() > 0
+    hits_after = sum(
+        1 for m in child.metrics() if m.get("event") == "resume_hit" and m["stage"].startswith("gazetteer_")
+    )
+    resumed = hits_after - hits_before
+    # index + canonical + meta + dfreq + slim all keyed on the BASE
+    # fingerprint -> every one resumes on the second batch
+    assert resumed >= 5, f"only {resumed} gazetteer stages resumed on the second batch"
+
+
 def test_block_keys_distinct_per_row(spark):
     """build_blocking_map dropped its global dropDuplicates: the per-row
     array_distinct must keep the relation unique even for a custom
